@@ -1,0 +1,9 @@
+from .segments import (
+    num_segments,
+    segment_start_frames,
+    segment_frame_ids,
+    sample_negatives,
+    hard_negative_ids,
+    target_ordering,
+)
+from .infonce import info_nce_loss
