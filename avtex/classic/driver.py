@@ -1,0 +1,124 @@
+"""Classic video-textures driver: the sigma sweep end to end.
+
+Re-specifies the reference's ``main`` (reference: baselines/
+classic_video_textures/video_textures.py:244-454) including the pieces its
+repo lost (``read_data``/``save_video`` imports point at a module that
+doesn't exist — SURVEY.md §7 "Missing reference pieces"): decode, feature
+extraction, D1 -> D2 -> value iteration -> threshold, a texture walk per
+sigma, muxed outputs, matrix figures and the jump-count chart.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from avtex.config import ClassicConfig
+from avtex.media import read_video, read_wav, save_texture_outputs
+from avtex.obs import Logger
+from avtex.synth.stitcher import expand_subsample
+
+from .d1 import compute_d1
+from .d2 import compute_d2
+from .features import resnet_features, resnet_vggish_features, rgb_features
+from .future_cost import compute_d3
+from .sampler import expand_walk_to_frames, sample_texture_walk
+
+
+def run_classic(cfg: ClassicConfig, video_path: str,
+                audio_path: Optional[str] = None,
+                out_dir: Optional[str] = None,
+                logger: Optional[Logger] = None,
+                num_steps: Optional[int] = None) -> Dict:
+    """Run the full classic pipeline on one video.
+
+    Returns {"sigma_results": {sigma: {...}}, "jump_counts": {...}}.
+    """
+    frames, fps = read_video(video_path)
+    name = os.path.splitext(os.path.basename(video_path))[0]
+    out_dir = out_dir or cfg.results_folder
+
+    audio = None
+    sr = cfg.sr
+    audio_examples = None
+    if audio_path is not None and os.path.exists(audio_path):
+        audio, sr = read_wav(audio_path)
+        from avtex.audio.mel import waveform_to_examples
+        audio_examples = np.asarray(waveform_to_examples(audio, sr))
+
+    if cfg.feats == "RGB":
+        feats, normalize = rgb_features(frames)
+    elif cfg.feats == "ResNet":
+        feats, normalize = resnet_features(frames)
+    else:  # ResNet_VGGish
+        feats, normalize = resnet_vggish_features(
+            frames, audio_examples, cfg.filter_size, cfg.stride)
+
+    if num_steps is None:
+        num_steps = int(cfg.new_video_length * fps)
+
+    results: Dict = {"sigma_results": {}, "jump_counts": {}}
+    for i, sigma_factor in enumerate(cfg.sigmas):
+        d1, p1, s1 = compute_d1(feats, sigma_factor, normalize=normalize)
+        stride = cfg.stride if cfg.model_type == 3 else 1
+        d2, p2, s2 = compute_d2(d1, sigma_factor, cfg.filter_size, stride)
+        d3, p3, p3_new, s3 = compute_d3(
+            d2, sigma_factor, p=cfg.q_p, alpha=cfg.q_alpha, eps=cfg.q_eps,
+            thresholding=cfg.threshold)
+
+        n = p3_new.shape[0]
+        start = min(cfg.start_frame, n - 1)
+        walk, jumps = sample_texture_walk(
+            p3_new, start, num_steps, jax.random.key(cfg.seed + i))
+        walk = np.asarray(walk)
+        frame_ids = expand_walk_to_frames(
+            walk, cfg.model_type, cfg.stride, cfg.filter_size, len(frames))
+        frame_ids = np.clip(frame_ids, 0, len(frames) - 1)
+
+        tex_frames = frames[frame_ids]
+        tex_audio = None
+        if audio is not None:
+            apf = int(sr / fps)
+            tex_audio = np.concatenate(
+                [audio[f * apf:(f + 1) * apf] for f in frame_ids])
+        paths = save_texture_outputs(
+            out_dir, f"{name}_classic_m{cfg.model_type}_sigma{sigma_factor}",
+            tex_frames, fps, audio=tex_audio, sample_rate=sr)
+
+        jump_count = int(np.asarray(jumps).sum())
+        results["sigma_results"][sigma_factor] = {
+            "paths": paths, "walk": walk, "jump_count": jump_count,
+            "sigmas": (float(s1), float(s2), float(s3)),
+        }
+        results["jump_counts"][sigma_factor] = jump_count
+
+        if logger is not None:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            for tag, mat in (("D1", d1), ("P1", p1), ("D2", d2), ("P2", p2),
+                             ("D3", d3), ("P3", p3), ("P3_new", p3_new)):
+                fig = plt.figure()
+                ax = fig.add_subplot(1, 1, 1)
+                im = ax.imshow(np.asarray(mat), interpolation="nearest")
+                fig.colorbar(im)
+                logger.log_figure(fig, f"classic/{tag}", i)
+                plt.close(fig)
+
+    if logger is not None:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig = plt.figure()
+        ax = fig.add_subplot(1, 1, 1)
+        ax.bar([str(s) for s in results["jump_counts"]],
+               list(results["jump_counts"].values()))
+        ax.set_xlabel("sigma factor")
+        ax.set_ylabel("jumps")
+        logger.log_figure(fig, "classic/jump_counts", 0)
+        plt.close(fig)
+
+    return results

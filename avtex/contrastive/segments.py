@@ -63,7 +63,9 @@ def sample_negatives(idx: int, n_total: int, n_negs: int,
     mask[[idx, idx + 1]] = False
     candidates = ids[mask]
     negs = rng.choice(candidates, n_negs, replace=False)
-    hard = hard_negative_ids(idx, n_total)
+    # Truncate when n_negs < 8: the reference would crash here (its negs
+    # buffer is overwritten in place, dataset.py:183-190).
+    hard = hard_negative_ids(idx, n_total)[:n_negs]
     negs[: len(hard)] = hard
     return negs
 

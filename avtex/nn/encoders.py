@@ -1,0 +1,53 @@
+"""Encoder registry: one builder contract for the whole zoo.
+
+Replaces the reference's ``ModelBuilder3D.build_network`` dispatch
+(reference: models/models.py:536-584) — and fixes its bugs: fc_dim is the
+encoder's *real* feature width (the reference returns 128 for every arch,
+models/models.py:584), and the resnext names resolve (the reference's
+``resnext50`` flag is a latent KeyError, resnext3d.py:7).
+
+``build_encoder(arch)`` returns ``(module, feat_dim, input_kind)`` where
+input_kind is "clip" ([B, T, H, W, 3] windows) or "slowfast" (a
+(slow, fast) pathway tuple from ``slowfast_pathways``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax.numpy as jnp
+
+from . import densenet3d, resnet3d, resnext3d, slowfast
+
+# arch -> (factory, feat_dim_fn, input_kind)
+ENCODER_REGISTRY: Dict[str, Tuple[Callable[..., Any], Callable[[Any], int], str]] = {}
+
+
+def _register(name: str, factory, kind: str = "clip") -> None:
+    ENCODER_REGISTRY[name] = (factory, kind)
+
+
+_register("resnet10", resnet3d.resnet3d10)
+_register("resnet18", resnet3d.resnet3d18)
+_register("resnet34", resnet3d.resnet3d34)
+_register("resnet50", resnet3d.resnet3d50)
+_register("resnext50", resnext3d.resnext3d50)
+_register("resnext101", resnext3d.resnext3d101)
+_register("resnext152", resnext3d.resnext3d152)
+_register("densenet121", densenet3d.densenet3d121)
+_register("densenet169", densenet3d.densenet3d169)
+_register("slowfast", slowfast.SlowFastR50, kind="slowfast")
+
+
+def build_encoder(arch: str, dtype: Any = jnp.bfloat16):
+    """Instantiate a video encoder.
+
+    Returns:
+      (module, feat_dim, input_kind).
+    """
+    if arch not in ENCODER_REGISTRY:
+        raise ValueError(
+            f"unknown encoder arch {arch!r}; have {sorted(ENCODER_REGISTRY)}")
+    factory, kind = ENCODER_REGISTRY[arch]
+    module = factory(dtype=dtype)
+    return module, module.feat_dim, kind

@@ -1,0 +1,71 @@
+"""2D ResNet image encoder (flax, NHWC).
+
+Used for (a) the classic baseline's per-frame "ResNet" feature mode
+(reference: baselines/classic_video_textures/computeD1.py:98-150, which
+takes torchvision resnet18's penultimate features) and (b) the legacy 2D
+contrastive path (reference: models/resnet.py:145-343).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .resnet3d import _norm
+
+
+class BasicBlock2D(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x):
+        r = x
+        s = (self.stride, self.stride)
+        y = nn.Conv(self.features, (3, 3), s, padding="SAME", use_bias=False,
+                    dtype=self.dtype)(x)
+        y = nn.relu(_norm(self.features, self.dtype)(y))
+        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(y)
+        y = _norm(self.features, self.dtype)(y)
+        if r.shape[-1] != self.features or self.stride != 1:
+            r = nn.Conv(self.features, (1, 1), s, use_bias=False,
+                        dtype=self.dtype)(x)
+            r = _norm(self.features, self.dtype)(r)
+        return nn.relu(y + r.astype(y.dtype))
+
+
+class ResNet2D(nn.Module):
+    """Image encoder [B, H, W, 3] -> [B, feat_dim] (penultimate features)."""
+
+    layers: Sequence[int] = (2, 2, 2, 2)
+    width: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def feat_dim(self) -> int:
+        return self.width * 8 * BasicBlock2D.expansion
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), (2, 2), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.relu(_norm(64, self.dtype)(x))
+        x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")
+        for i, n_blocks in enumerate(self.layers):
+            feats = self.width * (2 ** i)
+            for j in range(n_blocks):
+                stride = 2 if (i > 0 and j == 0) else 1
+                x = BasicBlock2D(feats, stride, dtype=self.dtype)(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return x.astype(jnp.float32)
+
+
+resnet2d18 = functools.partial(ResNet2D, layers=(2, 2, 2, 2))
+resnet2d34 = functools.partial(ResNet2D, layers=(3, 4, 6, 3))

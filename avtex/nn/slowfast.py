@@ -1,0 +1,149 @@
+"""SlowFast-R50 two-pathway video encoder (flax, NDHWC).
+
+The reference imports this from the external facebookresearch/SlowFast
+package with caffe2 weights and strips the classifier head
+(reference: models/models.py:565-580; pathway shapes pinned by
+models.py:392-397 — slow [B,C,8,H,W], fast [B,C,32,H,W]). Re-implemented
+here natively, TPU-first:
+
+- channels-last [B, T, H, W, C]; temporal convs expressed as (t,1,1)
+  kernels fused by XLA into the bottleneck matmuls;
+- SlowFast-8x8 geometry: alpha=4 (fast 32 frames -> slow 8), beta=1/8
+  (fast width = slow/8), lateral fast->slow fusions after stem and
+  res2/res3/res4 via time-strided (5,1,1) convs;
+- R50 bottlenecks [3,4,6,3]; slow pathway has temporal kernels only in
+  res4/res5, fast everywhere; spatial-only stage strides;
+- head = concat of global-avg-pooled pathways: 2048 + 256 = 2304 features.
+
+GroupNorm replaces BatchNorm (stateless under jit; the reference ran this
+encoder frozen in eval mode).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .resnet3d import _norm
+
+ALPHA = 4          # fast/slow frame-rate ratio
+BETA_INV = 8       # slow/fast channel ratio
+FAST_FRAMES = 32
+SLOW_FRAMES = FAST_FRAMES // ALPHA
+
+
+class SFBottleneck(nn.Module):
+    """Bottleneck with the temporal kernel on the first 1x1 conv."""
+
+    features: int
+    t_kernel: int = 1
+    spatial_stride: int = 1
+    dtype: Any = jnp.bfloat16
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x):
+        r = x
+        s = (1, self.spatial_stride, self.spatial_stride)
+        out_ch = self.features * self.expansion
+        y = nn.Conv(self.features, (self.t_kernel, 1, 1), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(x)
+        y = _norm(self.features, self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (1, 3, 3), s, padding="SAME",
+                    use_bias=False, dtype=self.dtype)(y)
+        y = _norm(self.features, self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = _norm(out_ch, self.dtype)(y)
+        if r.shape[-1] != out_ch or self.spatial_stride != 1:
+            r = nn.Conv(out_ch, (1, 1, 1), s, use_bias=False,
+                        dtype=self.dtype)(x)
+            r = _norm(out_ch, self.dtype)(r)
+        return nn.relu(y + r.astype(y.dtype))
+
+
+class SlowFastR50(nn.Module):
+    """Two-pathway encoder; __call__(slow, fast) -> [B, 2304]."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    width: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def feat_dim(self) -> int:
+        # slow head (width*8*expansion) + fast head (slow/BETA_INV): 2048+256.
+        top = self.width * 8 * SFBottleneck.expansion
+        return top + top // BETA_INV
+
+    def _lateral(self, fast, out_ch):
+        """Time-strided conv carrying fast features into the slow pathway."""
+        return nn.Conv(out_ch, (5, 1, 1), (ALPHA, 1, 1), padding="SAME",
+                       use_bias=False, dtype=self.dtype)(fast)
+
+    @nn.compact
+    def __call__(self, slow: jnp.ndarray, fast: jnp.ndarray) -> jnp.ndarray:
+        slow = slow.astype(self.dtype)
+        fast = fast.astype(self.dtype)
+        w = self.width
+        wf = w // BETA_INV
+
+        # Stems: slow has no temporal extent, fast a 5-frame one.
+        slow = nn.Conv(w, (1, 7, 7), (1, 2, 2), padding="SAME",
+                       use_bias=False, dtype=self.dtype)(slow)
+        slow = nn.relu(_norm(w, self.dtype)(slow))
+        fast = nn.Conv(wf, (5, 7, 7), (1, 2, 2), padding="SAME",
+                       use_bias=False, dtype=self.dtype)(fast)
+        fast = nn.relu(_norm(wf, self.dtype)(fast))
+        slow = nn.max_pool(slow, (1, 3, 3), (1, 2, 2), padding="SAME")
+        fast = nn.max_pool(fast, (1, 3, 3), (1, 2, 2), padding="SAME")
+        slow = jnp.concatenate(
+            [slow, self._lateral(fast, 2 * wf).astype(slow.dtype)], axis=-1)
+
+        # slow temporal kernels per stage: res2/res3 degenerate, res4/res5 = 3.
+        slow_t = (1, 1, 3, 3)
+        for i, n_blocks in enumerate(self.layers):
+            feats = w * (2 ** i)
+            for j in range(n_blocks):
+                stride = 2 if (i > 0 and j == 0) else 1
+                slow = SFBottleneck(feats, slow_t[i], stride,
+                                    dtype=self.dtype)(slow)
+                fast = SFBottleneck(feats // BETA_INV, 3, stride,
+                                    dtype=self.dtype)(fast)
+            if i != len(self.layers) - 1:
+                lateral = self._lateral(fast, 2 * (feats // BETA_INV)
+                                        * SFBottleneck.expansion)
+                slow = jnp.concatenate([slow, lateral.astype(slow.dtype)],
+                                       axis=-1)
+
+        slow = jnp.mean(slow, axis=(1, 2, 3))
+        fast = jnp.mean(fast, axis=(1, 2, 3))
+        return jnp.concatenate([slow, fast], axis=-1).astype(jnp.float32)
+
+
+def slowfast_pathways(frames: jnp.ndarray,
+                      fast_frames: int = FAST_FRAMES,
+                      alpha: int = ALPHA) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniformly sample a window into (slow, fast) pathway clips.
+
+    Matches the reference's frame-sampling contract: the fast pathway gets
+    ``fast_frames`` uniformly-spaced frames of the window, the slow pathway
+    every ``alpha``-th of those (reference: dataset/dataset.py:60-66 via
+    slowfast's process_cv2_inputs; SLOWFAST_8x8: 32 and 8 frames).
+
+    Args:
+      frames: [B, T, H, W, C] (or [T, H, W, C]) window of decoded frames.
+
+    Returns:
+      (slow [.., fast_frames//alpha, H, W, C], fast [.., fast_frames, ...]).
+    """
+    t_axis = frames.ndim - 4
+    t = frames.shape[t_axis]
+    idx = np.linspace(0, t - 1, fast_frames).round().astype(np.int32)
+    fast = jnp.take(frames, jnp.asarray(idx), axis=t_axis)
+    slow = jnp.take(fast, jnp.arange(alpha // 2, fast_frames, alpha),
+                    axis=t_axis)
+    return slow, fast

@@ -1,0 +1,104 @@
+"""Sharded embedding pass + distributed train step.
+
+The embed-once pass shards the *segment* axis: each device embeds L/n
+segments, the [L, D] table materializes via XLA's all-gather — exactly the
+parallel structure the reference hand-builds with per-GPU chunk dealing
+(reference: validate.py:441-493), minus all the bookkeeping.
+
+Training shards the batch over 'data' (grads all-reduced by XLA) and the
+audio-MLP's wide Dense kernels over 'model' (tensor parallelism: 12288x4096
+and 4096x4096 matmuls column/row-split so each device holds 1/tp of them).
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from avtex.data.preprocess import preprocess_clip
+from avtex.nn.slowfast import slowfast_pathways
+
+# (param-path regex, ndim) -> PartitionSpec. Megatron-style column-then-row
+# split of the audio MLP; everything else replicated.
+_TP_RULES = (
+    (re.compile(r"audio_mlp.*Dense_0.*kernel"), P(None, "model")),
+    (re.compile(r"audio_mlp.*Dense_0.*bias"), P("model")),
+    (re.compile(r"audio_mlp.*Dense_1.*kernel"), P("model", None)),
+)
+
+
+def param_shardings(params, mesh: Mesh):
+    """Sharding pytree for params: TP rules on the audio MLP, rest replicated."""
+    def one(path, leaf):
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                        for p in path)
+        for pattern, spec in _TP_RULES:
+            if pattern.search(name) and len(spec) <= leaf.ndim:
+                return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def sharded_embed_segments(model, params, mesh: Mesh,
+                           windows_u8: np.ndarray,
+                           audio_examples: Optional[np.ndarray] = None,
+                           *, tower: str = "target", img_size: int = 224
+                           ) -> jnp.ndarray:
+    """Embed all segments with the segment axis sharded over 'data'.
+
+    Pads L to a multiple of the data-axis size; returns the unpadded
+    [L, D] table (replicated).
+    """
+    slowfast = model.arch == "slowfast"
+    n_data = mesh.shape["data"]
+    L = len(windows_u8)
+    pad = (-L) % n_data
+    if pad:
+        windows_u8 = np.concatenate(
+            [windows_u8, np.repeat(windows_u8[-1:], pad, 0)])
+    audio = None
+    if audio_examples is not None and model.model_type == 2:
+        ids = np.minimum(np.arange(L + pad), len(audio_examples) - 1)
+        audio = np.asarray(audio_examples)[ids]
+
+    seg_sharding = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit,
+                       in_shardings=(param_shardings(params, mesh),
+                                     seg_sharding,
+                                     None if audio is None else seg_sharding),
+                       out_shardings=rep)
+    def run(p, frames, aud):
+        x = preprocess_clip(frames, size=img_size, slowfast=slowfast)
+        if slowfast:
+            x = slowfast_pathways(x)
+        return model.apply(p, x, aud, tower=tower, method=model.embed)
+
+    table = run(params, jnp.asarray(windows_u8),
+                None if audio is None else jnp.asarray(audio))
+    return table[:L]
+
+
+def make_sharded_train_step(model, tx, mesh: Mesh, size: int,
+                            slowfast: bool) -> Callable:
+    """DP+TP version of train.loop.make_train_step: batch sharded over
+    'data', params sharded by param_shardings, grads reduced by XLA."""
+    from avtex.train.loop import make_train_step
+
+    base_step = make_train_step(model, tx, size, slowfast)
+    batch_sharding = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    def place(state, batch, rng):
+        batch = {k: jax.device_put(jnp.asarray(v), batch_sharding)
+                 for k, v in batch.items()}
+        return base_step(state, batch, rng)
+
+    return place

@@ -1,0 +1,115 @@
+"""Embed-once segment tables — the core TPU win.
+
+The reference re-encodes EVERY segment of the source video at EVERY
+synthesis step (reference: validate.py:441-522, models.py:354-412; cost
+analysis in SURVEY.md §3.2/§6). Embeddings never change during synthesis,
+so here both towers embed all L segments exactly once, in fixed-size
+batches (static shapes -> one compiled kernel, padded tail), and synthesis
+becomes matmuls. The batched embed is the unit the parallel layer shards
+over the segment axis (avtex/parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avtex.contrastive.model import ContrastiveTextures
+from avtex.data.preprocess import preprocess_clip
+from avtex.nn.slowfast import slowfast_pathways
+
+
+def _embed_batch_fn(model: ContrastiveTextures, size: int, slowfast: bool,
+                    tower: str):
+    @jax.jit
+    def run(params, frames_u8, audio):
+        x = preprocess_clip(frames_u8, size=size, slowfast=slowfast)
+        if slowfast:
+            x = slowfast_pathways(x)
+        return model.apply(params, x, audio, tower=tower, method=model.embed)
+    return run
+
+
+def embed_segments(model: ContrastiveTextures, params,
+                   windows_u8: np.ndarray,
+                   audio_examples: Optional[np.ndarray] = None,
+                   *, tower: str = "target", img_size: int = 224,
+                   batch_size: int = 32) -> jnp.ndarray:
+    """Embed all segment windows with one tower.
+
+    Args:
+      windows_u8: [L, W, H, W_px, 3] uint8 segment windows
+        (from contrastive.segments.gather_windows).
+      audio_examples: [L', mel_frames, 64] per-segment examples; ids past
+        the last example are clipped (reference: validate.py:345).
+
+    Returns:
+      [L, D] embedding table (L2-normalized by the embedder).
+    """
+    slowfast = model.arch == "slowfast"
+    run = _embed_batch_fn(model, img_size, slowfast, tower)
+    L = len(windows_u8)
+    audio = None
+    if audio_examples is not None and model.model_type == 2:
+        ids = np.minimum(np.arange(L), len(audio_examples) - 1)
+        audio = np.asarray(audio_examples)[ids]
+
+    out = []
+    for b0 in range(0, L, batch_size):
+        chunk = windows_u8[b0:b0 + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        a_chunk = None
+        if audio is not None:
+            a_chunk = audio[b0:b0 + batch_size]
+            if pad:
+                a_chunk = np.concatenate([a_chunk,
+                                          np.repeat(a_chunk[-1:], pad, 0)])
+            a_chunk = jnp.asarray(a_chunk)
+        emb = run(params, jnp.asarray(chunk), a_chunk)
+        out.append(emb[:batch_size - pad] if pad else emb)
+    return jnp.concatenate(out, axis=0)
+
+
+def precompute_embeddings(model: ContrastiveTextures, params,
+                          windows_u8: np.ndarray,
+                          audio_examples: Optional[np.ndarray] = None,
+                          *, img_size: int = 224, batch_size: int = 32
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Q, T) tables: all segments through both towers, once each."""
+    q = embed_segments(model, params, windows_u8, audio_examples,
+                       tower="query", img_size=img_size,
+                       batch_size=batch_size)
+    t = embed_segments(model, params, windows_u8, audio_examples,
+                       tower="target", img_size=img_size,
+                       batch_size=batch_size)
+    return q, t
+
+
+def vggish_audio_features(vggish_module, vggish_params,
+                          examples: np.ndarray,
+                          batch_size: int = 64) -> jnp.ndarray:
+    """Raw VGGish conv features for audio examples ([N, feat]).
+
+    Used for the driving-audio "VGG" scoring branch
+    (reference: validate.py:260-296, models.py:424-439).
+    """
+    @jax.jit
+    def run(p, x):
+        return vggish_module.apply(p, x)
+
+    out = []
+    n = len(examples)
+    for b0 in range(0, n, batch_size):
+        chunk = np.asarray(examples[b0:b0 + batch_size])
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        feats = run(vggish_params, jnp.asarray(chunk))
+        out.append(feats[:batch_size - pad] if pad else feats)
+    return jnp.concatenate(out, axis=0)

@@ -1,0 +1,160 @@
+"""Device-side synthesis: the transition walk as one ``lax.scan``.
+
+Per-step semantics reproduce reference validate.py exactly:
+
+1. candidates = [pos] + all segments except {q_id, pos}, pos = min(q_id+1,
+   L-1) (validate.py:369-377) — as a mask over all L ids (when pos == q_id,
+   i.e. q_id == L-1, every id is a candidate, including q_id — the
+   reference's mask removes the same row twice).
+2. raw scores = cosine/temp logits; output /= output.sum() over candidates
+   (validate.py:524 — sum-normalize, NOT softmax).
+3. driving audio: output = alpha * P_video + (1-alpha) * P_audio, with
+   P_audio sum-normalized the same way (validate.py:524-527).
+4. zero entries below max - threshold*max; uniform sample over survivors
+   (validate.py:554-571).
+5. jump iff chosen != q_id + 1 (validate.py:585).
+
+The whole walk compiles to one kernel; per-step stats (entropy, survivor
+count, greedy-argmax agreement) are returned for observability parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class SynthesisResult:
+    """Host-side view of a completed walk."""
+
+    seed_id: int
+    indices: np.ndarray        # [steps] chosen segment ids
+    jumps: np.ndarray          # [steps] bool, chosen != prev+1
+    entropies: np.ndarray      # [steps]
+    nonzero_counts: np.ndarray  # [steps]
+    greedy_ids: np.ndarray     # [steps] argmax (non-random) choice
+    pos_prob: np.ndarray       # [steps] normalized score of the positive
+
+
+def num_synthesis_steps(max_length: int, window: int, stride: int) -> int:
+    """Steps for ``while len(new_frames) < max_length``: the first chosen
+    segment emits its full W frames, every later one its last S frames —
+    the slice [q*S+(W-S), q*S+W) (reference: validate.py:580-613)."""
+    if max_length <= window:
+        return 1
+    return 1 + -(-(max_length - window) // stride)
+
+
+def seed_segment(audio_examples: Optional[jnp.ndarray],
+                 driving_example: Optional[jnp.ndarray],
+                 default: int = 10) -> int:
+    """Initial q_id: fixed 10, or best audio match to the first driving
+    example (reference: validate.py:218-242)."""
+    if driving_example is None or audio_examples is None:
+        return default
+    src = audio_examples.reshape(audio_examples.shape[0], -1)
+    src = src / (jnp.linalg.norm(src, axis=1, keepdims=True) + 1e-12)
+    d = driving_example.reshape(-1)
+    d = d / (jnp.linalg.norm(d) + 1e-12)
+    return int(jnp.argmax(src @ d))
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps",))
+def _walk(video_logits: jnp.ndarray, audio_logits: Optional[jnp.ndarray],
+          seed_id: int, num_steps: int, alpha: float, threshold: float,
+          rng: jax.Array):
+    L = video_logits.shape[0]
+    ids = jnp.arange(L)
+
+    def step(carry, inp):
+        q_id = carry
+        key, audio_row = inp
+        pos = jnp.minimum(q_id + 1, L - 1)
+        cand = (ids != q_id) | (pos == q_id)
+
+        def norm(row):
+            row = jnp.where(cand, row, 0.0)
+            return row / jnp.sum(row)
+
+        p = norm(video_logits[q_id])
+        if audio_row is not None:
+            p = alpha * p + (1.0 - alpha) * norm(audio_row)
+        p = jnp.where(cand, p, -jnp.inf)
+
+        mx = jnp.max(p)
+        survive = p >= (mx - threshold * mx)
+        # survivors among candidates only; values below cut -> not chosen
+        p_thresh = jnp.where(survive & cand, p, 0.0)
+        n_nz = jnp.sum(p_thresh != 0.0)
+        p_renorm = p_thresh / jnp.sum(p_thresh)
+        entropy = jnp.abs(jnp.sum(jnp.where(p_renorm > 0,
+                                            jnp.log(jnp.where(p_renorm > 0,
+                                                              p_renorm, 1.0)),
+                                            0.0)) / jnp.maximum(n_nz, 1))
+
+        # Uniform over survivors (exponential-race trick).
+        noise = jax.random.uniform(key, (L,))
+        nxt = jnp.argmax(jnp.where(p_thresh > 0.0, noise, -1.0))
+        out = {
+            "idx": nxt,
+            "jump": nxt != q_id + 1,
+            "entropy": entropy,
+            "nonzero": n_nz,
+            "greedy": jnp.argmax(jnp.where(cand, p, -jnp.inf)),
+            "pos_prob": p[pos],
+        }
+        return nxt, out
+
+    keys = jax.random.split(rng, num_steps)
+    xs = (keys, audio_logits if audio_logits is not None else None)
+    _, outs = jax.lax.scan(step, jnp.asarray(seed_id), xs)
+    return outs
+
+
+def synthesize_indices(q_table: jnp.ndarray, t_table: jnp.ndarray,
+                       num_steps: int, temp: float = 0.1,
+                       threshold: float = 0.0, alpha: float = 0.5,
+                       audio_logits: Optional[jnp.ndarray] = None,
+                       seed_id: int = 10,
+                       rng: Optional[jax.Array] = None) -> SynthesisResult:
+    """Run the full walk from precomputed embedding tables.
+
+    Args:
+      q_table: [L, D] query-tower embeddings (L2-normalized).
+      t_table: [L, D] target-tower embeddings.
+      num_steps: transitions to generate (see num_synthesis_steps).
+      audio_logits: optional [num_steps, L] driving-audio rows (already
+        /temp), one per step (reference: validate.py:416-420).
+    """
+    if rng is None:
+        rng = jax.random.key(0)
+    video_logits = (q_table @ t_table.T).astype(jnp.float32) / temp
+    outs = _walk(video_logits, audio_logits, seed_id, num_steps,
+                 alpha, threshold, rng)
+    return SynthesisResult(
+        seed_id=seed_id,
+        indices=np.asarray(outs["idx"]),
+        jumps=np.asarray(outs["jump"]),
+        entropies=np.asarray(outs["entropy"]),
+        nonzero_counts=np.asarray(outs["nonzero"]),
+        greedy_ids=np.asarray(outs["greedy"]),
+        pos_prob=np.asarray(outs["pos_prob"]),
+    )
+
+
+def driving_audio_logits(source_audio_feats: jnp.ndarray,
+                         driving_audio_feats: jnp.ndarray,
+                         temp: float = 0.1) -> jnp.ndarray:
+    """[steps, L] cosine/temp rows between driving examples and source
+    segments (reference: models.py:420-439 "VGG" branch / :445-455 "Mel")."""
+    s = source_audio_feats / (jnp.linalg.norm(source_audio_feats, axis=1,
+                                              keepdims=True) + 1e-12)
+    d = driving_audio_feats / (jnp.linalg.norm(driving_audio_feats, axis=1,
+                                               keepdims=True) + 1e-12)
+    return (d @ s.T).astype(jnp.float32) / temp

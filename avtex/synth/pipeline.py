@@ -1,0 +1,184 @@
+"""End-to-end synthesis orchestration: media in -> texture out.
+
+The TPU-shaped replacement for reference validate.py:63-874: decode once,
+derive geometry from fps, embed every segment once (optionally sharded over
+the mesh), build the driving-audio logit rows, run the scan walk, stitch on
+the host, mux. Device work is front-loaded; the data-dependent tail
+(interpolation at jumps, muxing) runs on host — unlike the reference's
+interleaved per-step GPU loop.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avtex.audio.mel import waveform_to_examples
+from avtex.config import Config
+from avtex.contrastive.model import ContrastiveTextures
+from avtex.contrastive.segments import gather_windows, num_segments
+from avtex.media import read_video, read_wav, save_texture_outputs
+from avtex.obs import Timer
+
+from .embeddings import precompute_embeddings, vggish_audio_features
+from .engine import (driving_audio_logits, num_synthesis_steps, seed_segment,
+                     synthesize_indices)
+from .stitcher import stitch_texture
+
+
+def synthesize(cfg: Config, video_path: str, params,
+               audio_path: Optional[str] = None,
+               driving_audio_path: Optional[str] = None,
+               out_dir: Optional[str] = None,
+               mesh=None, interp_fn=None, logger=None) -> Dict:
+    """Synthesize one texture (reference: main.py:429-437 -> validate).
+
+    Args:
+      params: trained ContrastiveTextures params (from avtex.train).
+      mesh: optional jax.sharding.Mesh — shards the embed pass over 'data'.
+
+    Returns dict with the SynthesisResult, output paths and stage timings.
+    """
+    name = os.path.splitext(os.path.basename(video_path))[0]
+    timings: Dict[str, float] = {}
+
+    with Timer() as t:
+        video, fps = read_video(video_path, cfg.subsample_rate)
+    timings["decode_s"] = t.elapsed
+    cfg = cfg.derive_geometry(fps)
+    W, S = cfg.window, cfg.stride
+    L = num_segments(len(video), W, S, "val")
+
+    audio = None
+    sr = 22050
+    audio_examples = None
+    if audio_path is not None and os.path.exists(audio_path):
+        audio, sr = read_wav(audio_path)
+        audio_examples = np.asarray(waveform_to_examples(audio, sr))
+
+    driving = None
+    driving_examples = None
+    if driving_audio_path is not None:
+        driving, d_sr = read_wav(driving_audio_path)
+        driving_examples = np.asarray(waveform_to_examples(driving, d_sr))
+
+    model = ContrastiveTextures(arch=cfg.enc_arch, model_type=cfg.model_type,
+                                temp=cfg.temp)
+    if params is None:  # random-init fallback (no checkpoint supplied)
+        from avtex.data.preprocess import preprocess_clip
+        dummy = jnp.zeros((1, W) + video.shape[1:3] + (3,), jnp.uint8)
+        x = preprocess_clip(dummy, size=cfg.img_size,
+                            slowfast=cfg.enc_arch == "slowfast")
+        if cfg.enc_arch == "slowfast":
+            from avtex.nn.slowfast import slowfast_pathways
+            x = slowfast_pathways(x)
+        t_in = (tuple(p[:, None] for p in x) if isinstance(x, tuple)
+                else x[:, None])
+        qa = jnp.zeros((1, 100, 64)) if cfg.model_type == 2 else None
+        ta = jnp.zeros((1, 1, 100, 64)) if cfg.model_type == 2 else None
+        params = model.init(jax.random.key(cfg.seed), x, t_in, qa, ta)
+
+    # ---- embed once ---------------------------------------------------- #
+    windows = gather_windows(video, W, S, "val")
+    with Timer() as t:
+        if mesh is not None:
+            from avtex.parallel import sharded_embed_segments
+            q_table = sharded_embed_segments(
+                model, params, mesh, windows, audio_examples,
+                tower="query", img_size=cfg.img_size)
+            t_table = sharded_embed_segments(
+                model, params, mesh, windows, audio_examples,
+                tower="target", img_size=cfg.img_size)
+        else:
+            q_table, t_table = precompute_embeddings(
+                model, params, windows, audio_examples,
+                img_size=cfg.img_size, batch_size=cfg.mini_batchsize)
+    timings["embed_s"] = t.elapsed
+
+    # ---- synthesis length + steps -------------------------------------- #
+    max_length = int(cfg.new_video_length * fps)
+    if driving is not None:
+        # clip to driving-audio length (reference: validate.py:257-263)
+        max_length = min(max_length, int(len(driving_examples) / 10 * fps))
+    steps = num_synthesis_steps(max_length, W, S)
+
+    # ---- driving-audio rows -------------------------------------------- #
+    audio_logits = None
+    seed_id = min(cfg.start_segment, L - 1)
+    if driving_examples is not None and audio_examples is not None:
+        if cfg.da_feats == "Mel":
+            src = jnp.asarray(audio_examples.reshape(len(audio_examples), -1))
+            drv = jnp.asarray(
+                driving_examples.reshape(len(driving_examples), -1))
+        else:  # "VGG" (default): raw VGGish conv features
+            from avtex.nn.vggish import VGGish
+            vg = VGGish()
+            vparams = vg.init(jax.random.key(0),
+                              jnp.zeros((1,) + audio_examples.shape[1:]))
+            src = vggish_audio_features(vg, vparams, audio_examples)
+            drv = vggish_audio_features(vg, vparams, driving_examples)
+        # one row per step; segment ids past the end clip to the last row
+        ids = np.minimum(np.arange(steps), len(driving_examples) - 1)
+        # source rows must align to segment ids (clip like validate.py:345)
+        seg_ids = np.minimum(np.arange(L), len(audio_examples) - 1)
+        rows = driving_audio_logits(src[jnp.asarray(seg_ids)],
+                                    drv[jnp.asarray(ids)], cfg.temp)
+        audio_logits = rows
+        seed_id = seed_segment(jnp.asarray(audio_examples),
+                               jnp.asarray(driving_examples[0]))
+        seed_id = min(seed_id, L - 1)
+
+    # ---- the walk ------------------------------------------------------- #
+    with Timer() as t:
+        result = synthesize_indices(
+            q_table, t_table, steps, temp=cfg.temp, threshold=cfg.threshold,
+            alpha=cfg.alpha, audio_logits=audio_logits, seed_id=seed_id,
+            rng=jax.random.key(cfg.seed))
+    timings["walk_s"] = t.elapsed
+
+    # ---- stitch + outputs ----------------------------------------------- #
+    with Timer() as t:
+        stitched = stitch_texture(
+            video, result.indices, W, S, sf=cfg.SF,
+            subsample_rate=1,  # video already subsampled at decode
+            interpolate=cfg.interpolation, interp_fn=interp_fn,
+            frames_bar=cfg.frames_bar,
+            source_audio=audio if driving is None else None,
+            audio_sample_rate=sr, fps=fps)
+    timings["stitch_s"] = t.elapsed
+
+    out_audio = stitched["audio"]
+    out_sr = sr
+    if driving is not None:
+        out_audio, out_sr = driving, d_sr
+
+    paths = {}
+    if out_dir is not None:
+        with Timer() as t:
+            paths = save_texture_outputs(
+                out_dir, cfg.eval_logname(name), stitched["frames"], fps,
+                audio=out_audio, sample_rate=out_sr,
+                frames_intp=stitched["frames_intp"], sf=cfg.SF)
+        timings["mux_s"] = t.elapsed
+
+    if logger is not None:
+        for i, e in enumerate(result.entropies):
+            logger.log_scalar(float(e), "synth/entropy", i)
+            logger.log_scalar(int(result.nonzero_counts[i]),
+                              "synth/nonzero", i)
+        logger.log_scalar(int(result.jumps.sum()), "synth/jump_count", 0)
+
+    return {
+        "result": result,
+        "paths": paths,
+        "timings": timings,
+        "stitched": stitched,
+        "num_segments": L,
+        "fps": fps,
+        "window": W,
+        "stride": S,
+    }

@@ -1,0 +1,161 @@
+"""InfoNCE training loop (optax SGD + momentum, StepLR, early stop).
+
+One jitted step does everything the reference spread across DataLoader
+workers and per-batch .cuda() calls (reference: train.py:39-210): uint8
+batch in, augment + normalize on device, dual-tower forward, InfoNCE
+against column 0, SGD update. StepLR ÷10 at ``lr_steps`` epochs and early
+stop at epoch loss < 0.07 match main.py:185-203,475-477.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from avtex.config import Config
+from avtex.contrastive.model import ContrastiveTextures
+from avtex.data.pipeline import SegmentBatches, prefetch
+from avtex.data.preprocess import augment_and_preprocess, preprocess_clip
+from avtex.nn.slowfast import slowfast_pathways
+from avtex.obs import AverageMeter
+
+
+class TrainConfigError(ValueError):
+    pass
+
+
+def _prep_pathways(frames: jnp.ndarray, rng, size: int, slowfast: bool,
+                   train: bool):
+    """uint8 windows -> encoder input (clip tensor or slowfast tuple)."""
+    if train:
+        x = augment_and_preprocess(frames, rng, size=size, slowfast=slowfast)
+    else:
+        x = preprocess_clip(frames, size=size, slowfast=slowfast)
+    if slowfast:
+        return slowfast_pathways(x)
+    return x
+
+
+def make_train_step(model: ContrastiveTextures, tx: optax.GradientTransformation,
+                    size: int, slowfast: bool) -> Callable:
+    """Build the jitted (state, batch, rng) -> (state, metrics) step."""
+
+    def loss_fn(params, batch, rng):
+        kq, kt = jax.random.split(rng)
+        q_in = _prep_pathways(batch["q_frames"], kq, size, slowfast, True)
+        tf = batch["t_frames"]
+        b, n = tf.shape[:2]
+        t_flat = _prep_pathways(tf.reshape((-1,) + tf.shape[2:]), kt, size,
+                                slowfast, True)
+        if slowfast:
+            t_in = tuple(p.reshape((b, n) + p.shape[1:]) for p in t_flat)
+        else:
+            t_in = t_flat.reshape((b, n) + t_flat.shape[1:])
+        logits = model.apply(params, q_in, t_in,
+                             batch.get("q_audio"), batch.get("t_audio"))
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        loss = -jnp.mean(logp[:, 0])
+        acc = jnp.mean(jnp.argmax(logits, axis=-1) == 0)
+        return loss, acc
+
+    @jax.jit
+    def step(state: train_state.TrainState, batch: Dict, rng: jax.Array):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        state = state.apply_gradients(grads=grads)
+        return state, {"loss": loss, "acc": acc}
+
+    return step
+
+
+def create_state(model: ContrastiveTextures, cfg: Config,
+                 sample_batch: Dict, steps_per_epoch: int,
+                 slowfast: bool) -> Tuple[train_state.TrainState, optax.GradientTransformation]:
+    """Initialize params + SGD/StepLR optimizer (reference: main.py:440-446)."""
+    rng = jax.random.key(cfg.seed)
+    q_in = _prep_pathways(jnp.asarray(sample_batch["q_frames"][:1]), rng,
+                          cfg.img_size, slowfast, False)
+    tf = sample_batch["t_frames"][:1, :2]
+    t_flat = _prep_pathways(jnp.asarray(tf.reshape((-1,) + tf.shape[2:])),
+                            rng, cfg.img_size, slowfast, False)
+    if slowfast:
+        t_in = tuple(p.reshape((1, 2) + p.shape[1:]) for p in t_flat)
+    else:
+        t_in = t_flat.reshape((1, 2) + t_flat.shape[1:])
+    q_audio = (jnp.asarray(sample_batch["q_audio"][:1])
+               if "q_audio" in sample_batch else None)
+    t_audio = (jnp.asarray(sample_batch["t_audio"][:1, :2])
+               if "t_audio" in sample_batch else None)
+    params = model.init(rng, q_in, t_in, q_audio, t_audio)
+
+    schedule = optax.piecewise_constant_schedule(
+        cfg.lr, {steps_per_epoch * cfg.lr_steps: 0.1})
+    tx = optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.sgd(schedule, momentum=cfg.momentum),
+    )
+    state = train_state.TrainState.create(
+        apply_fn=model.apply, params=params, tx=tx)
+    return state, tx
+
+
+def train_video(cfg: Config, frames: np.ndarray,
+                audio_examples: Optional[np.ndarray] = None,
+                logger=None, epochs: Optional[int] = None,
+                log_every: int = 10) -> Tuple[train_state.TrainState, List[float]]:
+    """Train the contrastive model on one video (reference: main.py:450-477).
+
+    Returns (final state, per-epoch mean losses). Early-stops when epoch
+    loss < cfg.early_stop_loss.
+    """
+    if cfg.model_type == 2 and audio_examples is None:
+        raise TrainConfigError("model_type=2 requires audio examples")
+    model = ContrastiveTextures(arch=cfg.enc_arch, model_type=cfg.model_type,
+                                temp=cfg.temp)
+    slowfast = cfg.enc_arch == "slowfast"
+    data = SegmentBatches(frames, cfg.window, cfg.train_stride,
+                          n_negs=cfg.n_negs, batch_size=cfg.batch_size,
+                          audio_examples=(audio_examples
+                                          if cfg.model_type == 2 else None),
+                          seed=cfg.seed)
+    # A ragged tail batch would trigger a full recompile of the train step;
+    # drop it whenever at least one full batch remains (static shapes rule).
+    data.drop_last = data.n_train >= data.batch_size
+    sample = next(data.epoch())
+    state, tx = create_state(model, cfg, sample, len(data), slowfast)
+    step_fn = make_train_step(model, tx, cfg.img_size, slowfast)
+    rng = jax.random.key(cfg.seed + 1)
+
+    history: List[float] = []
+    best = float("inf")
+    n_epochs = epochs if epochs is not None else cfg.epochs
+    global_step = 0
+    for epoch in range(n_epochs):
+        meter = AverageMeter()
+        t0 = time.perf_counter()
+        for batch in prefetch(data.epoch()):
+            rng, krng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, krng)
+            loss = float(metrics["loss"])
+            meter.update(loss, len(batch["q_ids"]))
+            if logger is not None and global_step % log_every == 0:
+                logger.log_scalar(loss, "train/iter_loss", global_step)
+                logger.log_scalar(float(metrics["acc"]), "train/iter_acc",
+                                  global_step)
+            global_step += 1
+        history.append(meter.avg)
+        best = min(best, meter.avg)
+        if logger is not None:
+            logger.log_scalar(meter.avg, "train/epoch_loss", epoch)
+            logger.log_scalar(time.perf_counter() - t0, "train/epoch_time_s",
+                              epoch)
+        if meter.avg < cfg.early_stop_loss:  # reference: main.py:475-477
+            break
+    return state, history

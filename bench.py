@@ -1,0 +1,102 @@
+"""avtex benchmark: embed + score + synthesize a 1-min 30 fps video.
+
+The BASELINE.json north star: embed and score a 1-minute 30 fps video and
+synthesize the full texture in < 10 s on TPU (the reference re-encodes all
+segments per transition — ~450 SlowFast forwards of ~600 frames for the
+same output, SURVEY.md §6). This bench runs the whole device pipeline with
+the flagship SlowFast-R50 encoder: both embedding tables over all segments,
+the [L, L] logit matrix, and the full lax.scan transition walk.
+
+Prints ONE JSON line:
+  {"metric": "e2e_embed_score_synthesize_1min30fps_s", "value": <seconds>,
+   "unit": "s", "vs_baseline": <north-star 10 s / value>}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from avtex.config import Config
+    from avtex.contrastive.model import ContrastiveTextures
+    from avtex.contrastive.segments import gather_windows, num_segments
+    from avtex.synth.embeddings import precompute_embeddings
+    from avtex.synth.engine import num_synthesis_steps, synthesize_indices
+    from avtex.synth.stitcher import stitch_texture
+
+    fps, seconds, res = 30, 60, 224
+    cfg = Config(enc_arch="slowfast", model_type=1).derive_geometry(fps)
+    W, S = cfg.window, cfg.stride  # 15, 6
+    t_frames = fps * seconds
+
+    rng = np.random.default_rng(0)
+    # Synthetic but structured video (moving gradients), decode excluded.
+    yy, xx = np.mgrid[0:res, 0:res]
+    base = np.sin(xx / 17.0)[None] + np.cos(yy / 13.0)[None]
+    phase = np.sin(np.arange(t_frames) / 9.0)
+    video = np.clip(127 + 80 * base * phase[:, None, None], 0, 255)
+    video = video[..., None].repeat(3, -1).astype(np.uint8)
+
+    L = num_segments(len(video), W, S, "val")
+    windows = gather_windows(video, W, S, "val")
+
+    model = ContrastiveTextures(arch=cfg.enc_arch, model_type=1,
+                                temp=cfg.temp)
+    from avtex.data.preprocess import preprocess_clip
+    from avtex.nn.slowfast import slowfast_pathways
+    x = preprocess_clip(jnp.asarray(windows[:1]), size=res, slowfast=True)
+    sf = slowfast_pathways(x)
+    t_in = tuple(p[:, None] for p in sf)
+    params = model.init(jax.random.key(0), sf, t_in)
+
+    batch = 16
+    steps = num_synthesis_steps(seconds * fps, W, S)
+
+    def run():
+        q, t = precompute_embeddings(model, params, windows,
+                                     img_size=res, batch_size=batch)
+        result = synthesize_indices(q, t, steps, temp=cfg.temp,
+                                    threshold=0.5, seed_id=10,
+                                    rng=jax.random.key(0))
+        return result
+
+    # Warmup: compile embed + walk kernels (first TPU compile is slow).
+    _ = run()
+
+    t0 = time.perf_counter()
+    result = run()
+    stitched = stitch_texture(video, result.indices, W, S, sf=cfg.SF,
+                              interpolate=False)
+    elapsed = time.perf_counter() - t0
+
+    assert len(stitched["frames"]) >= seconds * fps * 0.9
+    print(json.dumps({
+        "metric": "e2e_embed_score_synthesize_1min30fps_s",
+        "value": round(elapsed, 4),
+        "unit": "s",
+        "vs_baseline": round(10.0 / elapsed, 3),
+        "detail": {
+            "segments": int(L),
+            "steps": int(steps),
+            "encoder": "slowfast_r50",
+            "resolution": res,
+            "devices": [str(d) for d in jax.devices()],
+            "jumps": int(result.jumps.sum()),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - bench must always emit a line
+        print(json.dumps({"metric": "e2e_embed_score_synthesize_1min30fps_s",
+                          "value": -1, "unit": "s", "vs_baseline": 0,
+                          "error": f"{type(e).__name__}: {e}"}))
+        sys.exit(1)

@@ -1,0 +1,87 @@
+"""Encoder zoo + contrastive model shape/semantics tests (tiny shapes, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avtex.contrastive.model import ContrastiveTextures, SegmentEmbedder
+from avtex.nn import build_encoder, slowfast_pathways
+from avtex.nn.vggish import VGGish, vggish_feat_dim
+
+
+@pytest.mark.parametrize("arch,expect_dim", [
+    ("resnet10", 512), ("resnet18", 512), ("resnet50", 2048),
+    ("resnext50", 2048), ("densenet121", 1024), ("slowfast", 2304),
+])
+def test_encoder_feat_dims(arch, expect_dim):
+    module, feat_dim, kind = build_encoder(arch)
+    assert feat_dim == expect_dim
+    assert kind == ("slowfast" if arch == "slowfast" else "clip")
+
+
+@pytest.mark.parametrize("arch", ["resnet10", "densenet121"])
+def test_clip_encoder_forward(arch):
+    module, feat_dim, _ = build_encoder(arch)
+    x = jnp.zeros((2, 4, 32, 32, 3))
+    params = module.init(jax.random.key(0), x)
+    out = module.apply(params, x)
+    assert out.shape == (2, feat_dim)
+    assert out.dtype == jnp.float32
+
+
+def test_slowfast_forward():
+    module, feat_dim, _ = build_encoder("slowfast")
+    frames = jnp.zeros((1, 10, 24, 24, 3))
+    slow, fast = slowfast_pathways(frames)
+    assert slow.shape == (1, 8, 24, 24, 3)
+    assert fast.shape == (1, 32, 24, 24, 3)
+    params = module.init(jax.random.key(0), slow, fast)
+    out = module.apply(params, slow, fast)
+    assert out.shape == (1, 2304)
+
+
+def test_vggish_feat_dim():
+    m = VGGish()
+    x = jnp.zeros((3, 100, 64))
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (3, vggish_feat_dim(100, 64))
+    assert vggish_feat_dim(96, 64) == 512 * 24  # reference geometry
+
+
+def test_segment_embedder_normalized():
+    m = SegmentEmbedder(arch="resnet10", model_type=1)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 4, 32, 32, 3)),
+                    jnp.float32)
+    params = m.init(jax.random.key(0), x)
+    emb = m.apply(params, x)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1),
+                               1.0, atol=1e-3)
+
+
+def test_contrastive_logits_shape_and_scale():
+    m = ContrastiveTextures(arch="resnet10", model_type=1, temp=0.1)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.random((2, 4, 16, 16, 3)), jnp.float32)
+    t = jnp.asarray(rng.random((2, 3, 4, 16, 16, 3)), jnp.float32)
+    params = m.init(jax.random.key(0), q, t)
+    logits = m.apply(params, q, t)
+    assert logits.shape == (2, 3)
+    # cosine/temp bound: |logit| <= 1/temp
+    assert np.all(np.abs(np.asarray(logits)) <= 1.0 / 0.1 + 1e-4)
+
+
+def test_contrastive_audio_model():
+    m = ContrastiveTextures(arch="resnet10", model_type=2, temp=0.1)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.random((1, 4, 16, 16, 3)), jnp.float32)
+    t = jnp.asarray(rng.random((1, 3, 4, 16, 16, 3)), jnp.float32)
+    qa = jnp.asarray(rng.random((1, 100, 64)), jnp.float32)
+    ta = jnp.asarray(rng.random((1, 3, 100, 64)), jnp.float32)
+    params = m.init(jax.random.key(0), q, t, qa, ta)
+    logits = m.apply(params, q, t, qa, ta)
+    assert logits.shape == (1, 3)
+    # embedding tables via embed()
+    emb = m.apply(params, t[0], ta[0], tower="target", method=m.embed)
+    assert emb.shape[0] == 3

@@ -1,0 +1,75 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from avtex.contrastive.model import ContrastiveTextures
+from avtex.parallel import make_mesh, param_shardings, sharded_embed_segments
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_mesh_covers_all_devices(mesh):
+    assert mesh.shape["data"] == len(jax.devices())
+    assert mesh.shape["model"] == 1
+
+
+def test_sharded_embed_matches_unsharded(mesh, rng):
+    from avtex.synth.embeddings import embed_segments
+    model = ContrastiveTextures(arch="resnet10", model_type=1)
+    windows = (rng.random((11, 4, 16, 16, 3)) * 255).astype(np.uint8)
+    # init params via a tiny forward
+    import jax.numpy as jnp
+    from avtex.data.preprocess import preprocess_clip
+    x = preprocess_clip(jnp.asarray(windows[:1]), size=16)
+    params = model.init(jax.random.key(0), x, x[:, None])
+
+    plain = np.asarray(embed_segments(model, params, windows, tower="target",
+                                      img_size=16, batch_size=4))
+    sharded = np.asarray(sharded_embed_segments(model, params, mesh, windows,
+                                                tower="target", img_size=16))
+    assert sharded.shape == plain.shape
+    np.testing.assert_allclose(sharded, plain, atol=2e-2, rtol=2e-2)
+
+
+def test_param_shardings_tp_rules(mesh):
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    model = ContrastiveTextures(arch="resnet10", model_type=2)
+    q = jnp.zeros((1, 2, 16, 16, 3))
+    t = jnp.zeros((1, 1, 2, 16, 16, 3))
+    qa = jnp.zeros((1, 100, 64))
+    ta = jnp.zeros((1, 1, 100, 64))
+    params = model.init(jax.random.key(0), q, t, qa, ta)
+    shardings = param_shardings(params, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    specs = {"/".join(str(getattr(p, "key", p)) for p in path): s.spec
+             for path, s in flat}
+    tp = [k for k, v in specs.items() if v != P()]
+    assert any("audio_mlp" in k for k in tp), "audio MLP should be TP-sharded"
+    assert all("audio_mlp" in k for k in tp), "only the MLP should be sharded"
+
+
+def test_sharded_train_step_runs(mesh, rng):
+    """DP train step over the full mesh: one step, finite loss."""
+    import optax
+    from avtex.parallel import make_sharded_train_step
+    from avtex.train.loop import create_state
+    from avtex.config import Config
+
+    cfg = Config(enc_arch="resnet10", model_type=1, img_size=16, window=4,
+                 stride=2, train_stride=2, n_negs=2, batch_size=8, lr=0.01)
+    model = ContrastiveTextures(arch="resnet10", model_type=1)
+    batch = {
+        "q_frames": (rng.random((8, 4, 16, 16, 3)) * 255).astype(np.uint8),
+        "t_frames": (rng.random((8, 3, 4, 16, 16, 3)) * 255).astype(np.uint8),
+        "q_ids": np.arange(8),
+    }
+    state, tx = create_state(model, cfg, batch, 10, slowfast=False)
+    step = make_sharded_train_step(model, tx, mesh, 16, slowfast=False)
+    state2, metrics = step(state, batch, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))

@@ -1,0 +1,81 @@
+"""End-to-end pipeline tests: synthesize() and the CLIs on a tiny clip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from avtex.config import Config
+from avtex.media import write_video, write_wav
+
+
+@pytest.fixture(scope="module")
+def tiny_clip(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    t, h, w = 60, 32, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    vid = np.stack([np.sin(xx / 4 + i / 3) * 100 + 127 for i in range(t)])
+    vid = np.clip(vid[..., None].repeat(3, -1) + yy[..., None], 0, 255)
+    video_path = str(d / "clip.mp4")
+    write_video(vid.astype(np.uint8), video_path, fps=10.0)
+    sr = 16000
+    wav = (0.3 * np.sin(np.arange(sr * 8) / sr * 2 * np.pi * 220)
+           ).astype(np.float32)
+    audio_path = str(d / "clip.wav")
+    write_wav(audio_path, wav, sr)
+    return {"dir": str(d), "video": video_path, "audio": audio_path}
+
+
+def test_synthesize_end_to_end(tiny_clip, tmp_path):
+    from avtex.synth.pipeline import synthesize
+    cfg = Config(enc_arch="resnet10", model_type=1, img_size=32,
+                 new_video_length=3, threshold=0.5, interpolation=True,
+                 SF=3, mini_batchsize=8, seed=0)
+    out = synthesize(cfg, tiny_clip["video"], params=None,
+                     audio_path=tiny_clip["audio"],
+                     out_dir=str(tmp_path))
+    # fps=10 -> W=5, S=2
+    assert out["window"] == 5 and out["stride"] == 2
+    r = out["result"]
+    assert len(r.indices) >= 1
+    assert "texture" in out["paths"] and os.path.exists(out["paths"]["texture"])
+    assert out["stitched"]["audio"] is not None
+    assert set(out["timings"]) >= {"decode_s", "embed_s", "walk_s", "stitch_s"}
+
+
+def test_synthesize_with_driving_audio(tiny_clip, tmp_path):
+    from avtex.synth.pipeline import synthesize
+    cfg = Config(enc_arch="resnet10", model_type=2, img_size=32,
+                 new_video_length=2, threshold=0.5, alpha=0.5,
+                 da_feats="Mel", interpolation=False, seed=0)
+    out = synthesize(cfg, tiny_clip["video"], params=None,
+                     audio_path=tiny_clip["audio"],
+                     driving_audio_path=tiny_clip["audio"],
+                     out_dir=str(tmp_path))
+    assert len(out["result"].indices) >= 1
+    assert out["paths"]
+
+
+def test_classic_cli(tiny_clip, tmp_path):
+    from avtex.cli.classic_main import main
+    main(["-m", "1", "-vdata", tiny_clip["dir"], "-vl", "clip",
+          "-fs", "8", "-sigma", "4.5", "-nvl", "2",
+          "-results_folder", str(tmp_path / "rc")])
+    written = os.listdir(tmp_path / "rc")
+    assert any(f.endswith((".mp4", ".avi")) for f in written)
+
+
+def test_contrastive_cli_train_and_eval(tiny_clip, tmp_path):
+    from avtex.cli.main import main
+    ckpt = str(tmp_path / "ckpt")
+    main(["-m", "1", "-vdata", tiny_clip["dir"], "-vl", "clip",
+          "-ea", "resnet10", "-size", "32", "-bs", "4", "-negs", "2",
+          "-epochs", "1", "-ckpt", ckpt,
+          "-logdir", str(tmp_path / "logs")])
+    assert os.listdir(ckpt)
+    main(["-m", "1", "-e", "-vdata", tiny_clip["dir"], "-vl", "clip",
+          "-ea", "resnet10", "-size", "32", "-bs", "4", "-negs", "2",
+          "-th", "0.5", "-nvl", "2", "-ckpt", ckpt, "-nintp",
+          "-results_folder", str(tmp_path / "res"),
+          "-logdir", str(tmp_path / "logs")])
+    assert os.listdir(tmp_path / "res")

@@ -1,0 +1,157 @@
+"""Synthesis engine tests: walk semantics vs a numpy oracle, stitching
+contract, embed-once tables, SuperSloMo shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avtex.synth.engine import (driving_audio_logits, num_synthesis_steps,
+                                seed_segment, synthesize_indices)
+from avtex.synth.stitcher import stitch_texture, walk_frame_ids
+
+
+def greedy_oracle(logits, seed_id, steps):
+    """Reference semantics with threshold=0: only the argmax survives, so
+    the walk is deterministic (validate.py:554-571 with th=0)."""
+    L = logits.shape[0]
+    out = []
+    q = seed_id
+    for _ in range(steps):
+        pos = min(q + 1, L - 1)
+        cand = np.ones(L, bool)
+        if pos != q:
+            cand[q] = False
+        row = np.where(cand, logits[q], 0.0)
+        row = row / row.sum()
+        row = np.where(cand, row, -np.inf)
+        q = int(np.argmax(row))
+        out.append(q)
+    return np.asarray(out)
+
+
+@pytest.fixture
+def tables(rng):
+    L, D = 12, 16
+    q = rng.standard_normal((L, D))
+    t = rng.standard_normal((L, D))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    return jnp.asarray(q), jnp.asarray(t)
+
+
+def test_walk_threshold_zero_matches_greedy_oracle(tables):
+    q, t = tables
+    logits = np.asarray(q @ t.T) / 0.1
+    res = synthesize_indices(q, t, num_steps=8, temp=0.1, threshold=0.0,
+                             seed_id=3, rng=jax.random.key(1))
+    expect = greedy_oracle(logits, 3, 8)
+    np.testing.assert_array_equal(res.indices, expect)
+    np.testing.assert_array_equal(res.greedy_ids, expect)
+    assert np.all(res.nonzero_counts == 1)
+
+
+def test_walk_never_chooses_query(tables):
+    q, t = tables
+    res = synthesize_indices(q, t, num_steps=40, threshold=0.6,
+                             seed_id=0, rng=jax.random.key(0))
+    L = q.shape[0]
+    prev = 0
+    for nxt in res.indices:
+        if prev != L - 1:
+            assert nxt != prev
+        prev = int(nxt)
+
+
+def test_walk_jump_flags(tables):
+    q, t = tables
+    res = synthesize_indices(q, t, num_steps=10, threshold=0.5,
+                             seed_id=2, rng=jax.random.key(2))
+    prev = 2
+    for i, nxt in enumerate(res.indices):
+        assert bool(res.jumps[i]) == (int(nxt) != prev + 1)
+        prev = int(nxt)
+
+
+def test_alpha_blend_extremes(tables, rng):
+    q, t = tables
+    L = q.shape[0]
+    steps = 6
+    audio = jnp.asarray(rng.standard_normal((steps, L))) / 0.1
+    res_video = synthesize_indices(q, t, steps, threshold=0.0, alpha=1.0,
+                                   audio_logits=audio, seed_id=3,
+                                   rng=jax.random.key(3))
+    res_plain = synthesize_indices(q, t, steps, threshold=0.0, seed_id=3,
+                                   rng=jax.random.key(3))
+    np.testing.assert_array_equal(res_video.indices, res_plain.indices)
+
+
+def test_num_synthesis_steps():
+    # W=15, S=6: first step 15 frames, then S=6/step (reference geometry @30fps)
+    assert num_synthesis_steps(15, 15, 6) == 1
+    assert num_synthesis_steps(16, 15, 6) == 2
+    assert num_synthesis_steps(900, 15, 6) == 1 + -(-(900 - 15) // 6)
+
+
+def test_seed_segment(rng):
+    egs = jnp.asarray(rng.standard_normal((10, 100, 64)), jnp.float32)
+    assert seed_segment(egs, None) == 10
+    # driving example equal to source example 7 -> argmax at 7
+    assert seed_segment(egs, egs[7]) == 7
+
+
+def test_driving_audio_logits_shape(rng):
+    s = jnp.asarray(rng.standard_normal((12, 32)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((5, 32)), jnp.float32)
+    out = driving_audio_logits(s, d, temp=0.1)
+    assert out.shape == (5, 12)
+    # diagonal self-similarity: identical features give max logit 1/temp
+    out2 = driving_audio_logits(s, s[:3], temp=0.1)
+    np.testing.assert_allclose(np.asarray(out2)[np.arange(3), np.arange(3)],
+                               10.0, rtol=1e-4)
+
+
+def test_walk_frame_ids_sequential():
+    ids, jumps = walk_frame_ids([2, 3, 4], window=6, stride=2)
+    # first: frames [4..10), then last S=2 of seg3: [10..12), seg4: [12..14)
+    np.testing.assert_array_equal(ids, list(range(4, 14)))
+    assert jumps == []
+
+
+def test_walk_frame_ids_jump():
+    ids, jumps = walk_frame_ids([2, 7], window=6, stride=2)
+    assert jumps == [6]  # jump step starts after the 6 first-window frames
+    np.testing.assert_array_equal(ids[6:], [18, 19])
+
+
+def test_stitch_texture_no_jump(rng):
+    video = (rng.random((40, 16, 16, 3)) * 255).astype(np.uint8)
+    out = stitch_texture(video, [1, 2, 3], window=6, stride=2, sf=5,
+                         source_audio=np.zeros(40 * 100, np.float32),
+                         audio_sample_rate=1000, fps=10.0)
+    assert out["jump_count"] == 0
+    assert len(out["frames"]) == 6 + 2 + 2
+    # intp: every frame + 2 held copies
+    assert len(out["frames_intp"]) == 10 * 3
+    assert len(out["audio"]) == 10 * 100
+
+
+def test_stitch_texture_jump_interp(rng):
+    video = (rng.random((60, 16, 16, 3)) * 255).astype(np.uint8)
+    out = stitch_texture(video, [1, 10], window=6, stride=2, sf=5)
+    assert out["jump_count"] == 1
+    # plain: 6 + 2
+    assert len(out["frames"]) == 8
+    # intp: first 6 frames x3, then jump: remove 2 held, add 4 interp,
+    # first new frame bare, second new frame x3  => 18-2+4+1+3 = 24
+    assert len(out["frames_intp"]) == 24
+
+
+def test_slomo_interp_shapes():
+    from avtex.synth.interp import init_slomo, make_interp_fn
+    m, params = init_slomo(size=(32, 48))
+    fn = make_interp_fn(m, params)
+    f0 = np.zeros((32, 48, 3), np.uint8)
+    f1 = np.full((32, 48, 3), 255, np.uint8)
+    mids = fn(f0, f1, 4)
+    assert mids.shape == (4, 32, 48, 3)
