@@ -35,7 +35,7 @@ def resnet_features(frames: np.ndarray, module=None, params=None,
     from avtex.nn.resnet2d import resnet2d18
     if module is None:
         module = resnet2d18()
-        params = module.init(jax.random.key(0),
+        params = jax.jit(module.init)(jax.random.key(0),
                              jnp.zeros((1, img_size, img_size, 3)))
 
     @jax.jit
@@ -71,7 +71,7 @@ def resnet_vggish_features(frames: np.ndarray,
     from avtex.nn.vggish import VGGish
     from avtex.synth.embeddings import vggish_audio_features
     m = VGGish()
-    params = m.init(jax.random.key(0),
+    params = jax.jit(m.init)(jax.random.key(0),
                     jnp.zeros((1,) + np.asarray(audio_examples).shape[1:]))
     afeats = vggish_audio_features(m, params, audio_examples)
     ids = np.minimum(np.arange(len(frames)) // stride, len(afeats) - 1)

@@ -149,7 +149,7 @@ def run_one_video(cfg, video_name: str, mesh=None) -> None:
                 else x[:, None])
         qa = (jnp.zeros((1, 100, 64)) if cfg.model_type == 2 else None)
         ta = (jnp.zeros((1, 1, 100, 64)) if cfg.model_type == 2 else None)
-        template = model.init(jax.random.key(0), x, t_in, qa, ta)
+        template = jax.jit(model.init)(jax.random.key(0), x, t_in, qa, ta)
         payload = restore_checkpoint(resume, template)
         params = payload["state"]
         print(f"[avtex] restored checkpoint {resume} "

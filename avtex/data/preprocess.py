@@ -26,7 +26,15 @@ SLOWFAST_STD = (0.225, 0.225, 0.225)
 
 
 def _resize_clip(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Bilinear resize of [..., H, W, C] to (size, size)."""
+    """Bilinear resize of [..., H, W, C] to (size, size).
+
+    Identity sizes return the input unchanged — jax.image.resize would
+    otherwise still emit the full bilinear gather (two [size, size] weight
+    matmuls per image), which dominated the embed pass when videos already
+    matched the model resolution.
+    """
+    if x.shape[-3] == size and x.shape[-2] == size:
+        return x
     out_shape = x.shape[:-3] + (size, size, x.shape[-1])
     return jax.image.resize(x, out_shape, method="bilinear")
 

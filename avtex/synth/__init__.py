@@ -13,7 +13,9 @@ video at every step (SURVEY.md §3.2). Here the engine is split device/host:
   or crossfade interpolation at jumps, audio-track assembly.
 """
 
-from .embeddings import precompute_embeddings, embed_segments
+from .embeddings import (precompute_embeddings, embed_segments,
+                         embed_segments_from_video,
+                         precompute_embeddings_from_video)
 from .engine import SynthesisResult, synthesize_indices, num_synthesis_steps
 from .stitcher import stitch_texture
 

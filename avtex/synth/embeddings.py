@@ -23,6 +23,7 @@ from avtex.data.preprocess import preprocess_clip
 from avtex.nn.slowfast import slowfast_pathways
 
 
+@functools.lru_cache(maxsize=32)
 def _embed_batch_fn(model: ContrastiveTextures, size: int, slowfast: bool,
                     tower: str):
     @jax.jit
@@ -32,6 +33,64 @@ def _embed_batch_fn(model: ContrastiveTextures, size: int, slowfast: bool,
             x = slowfast_pathways(x)
         return model.apply(params, x, audio, tower=tower, method=model.embed)
     return run
+
+
+@functools.lru_cache(maxsize=32)
+def _embed_from_video_fn(model: ContrastiveTextures, size: int,
+                         slowfast: bool, tower: str, window: int):
+    """Embed a batch of segments by gathering windows ON DEVICE from a
+    resident frame buffer — overlapping windows (stride < window) mean the
+    host-side windowed copy is ~W/S× larger than the video itself; keeping
+    the video on device transfers each frame once.
+
+    lru_cache: flax modules are frozen dataclasses (hashable), so repeated
+    calls reuse the compiled step instead of re-tracing per invocation.
+    """
+    @jax.jit
+    def run(params, video_u8, starts, audio):
+        idx = starts[:, None] + jnp.arange(window)[None, :]   # [B, W]
+        frames = video_u8[idx]                                # [B, W, H, W, 3]
+        x = preprocess_clip(frames, size=size, slowfast=slowfast)
+        if slowfast:
+            x = slowfast_pathways(x)
+        return model.apply(params, x, audio, tower=tower, method=model.embed)
+    return run
+
+
+def embed_segments_from_video(model: ContrastiveTextures, params,
+                              video_u8, window: int, stride: int,
+                              num_segments: int,
+                              audio_examples: Optional[np.ndarray] = None,
+                              *, tower: str = "target", img_size: int = 224,
+                              batch_size: int = 32) -> jnp.ndarray:
+    """[L, D] table from a device-resident video buffer (bandwidth-optimal
+    variant of embed_segments; same numerics)."""
+    slowfast = model.arch == "slowfast"
+    video_u8 = jnp.asarray(video_u8)  # one transfer, reused every batch
+    run = _embed_from_video_fn(model, img_size, slowfast, tower, window)
+    L = num_segments
+    audio = None
+    if audio_examples is not None and model.model_type == 2:
+        ids = np.minimum(np.arange(L), len(audio_examples) - 1)
+        audio = np.asarray(audio_examples)[ids]
+
+    out = []
+    starts_all = np.arange(L, dtype=np.int32) * stride
+    for b0 in range(0, L, batch_size):
+        starts = starts_all[b0:b0 + batch_size]
+        pad = batch_size - len(starts)
+        if pad:
+            starts = np.concatenate([starts, np.repeat(starts[-1:], pad)])
+        a_chunk = None
+        if audio is not None:
+            a_chunk = audio[b0:b0 + batch_size]
+            if pad:
+                a_chunk = np.concatenate(
+                    [a_chunk, np.repeat(a_chunk[-1:], pad, 0)])
+            a_chunk = jnp.asarray(a_chunk)
+        emb = run(params, video_u8, jnp.asarray(starts), a_chunk)
+        out.append(emb[:batch_size - pad] if pad else emb)
+    return jnp.concatenate(out, axis=0)
 
 
 def embed_segments(model: ContrastiveTextures, params,
@@ -88,6 +147,25 @@ def precompute_embeddings(model: ContrastiveTextures, params,
     t = embed_segments(model, params, windows_u8, audio_examples,
                        tower="target", img_size=img_size,
                        batch_size=batch_size)
+    return q, t
+
+
+def precompute_embeddings_from_video(model: ContrastiveTextures, params,
+                                     video_u8, window: int, stride: int,
+                                     num_segments: int,
+                                     audio_examples=None, *,
+                                     img_size: int = 224,
+                                     batch_size: int = 32
+                                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Q, T) tables via the device-resident-video path."""
+    video_dev = jnp.asarray(video_u8)  # single H2D transfer for both towers
+    kwargs = dict(window=window, stride=stride, num_segments=num_segments,
+                  audio_examples=audio_examples, img_size=img_size,
+                  batch_size=batch_size)
+    q = embed_segments_from_video(model, params, video_dev, tower="query",
+                                  **kwargs)
+    t = embed_segments_from_video(model, params, video_dev, tower="target",
+                                  **kwargs)
     return q, t
 
 

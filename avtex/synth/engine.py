@@ -66,9 +66,16 @@ def seed_segment(audio_examples: Optional[jnp.ndarray],
 
 
 @functools.partial(jax.jit, static_argnames=("num_steps",))
-def _walk(video_logits: jnp.ndarray, audio_logits: Optional[jnp.ndarray],
+def _walk(q_table: jnp.ndarray, t_table: jnp.ndarray, temp: float,
+          audio_logits: Optional[jnp.ndarray],
           seed_id: int, num_steps: int, alpha: float, threshold: float,
           rng: jax.Array):
+    # The [L, L] logit matrix fuses into the same program as the scan —
+    # one dispatch for the whole walk.
+    video_logits = jax.lax.dot_general(
+        q_table, t_table,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) / temp
     L = video_logits.shape[0]
     ids = jnp.arange(L)
 
@@ -134,8 +141,7 @@ def synthesize_indices(q_table: jnp.ndarray, t_table: jnp.ndarray,
     """
     if rng is None:
         rng = jax.random.key(0)
-    video_logits = (q_table @ t_table.T).astype(jnp.float32) / temp
-    outs = _walk(video_logits, audio_logits, seed_id, num_steps,
+    outs = _walk(q_table, t_table, temp, audio_logits, seed_id, num_steps,
                  alpha, threshold, rng)
     return SynthesisResult(
         seed_id=seed_id,

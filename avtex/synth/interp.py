@@ -30,7 +30,7 @@ def init_slomo(rng=None, size: Tuple[int, int] = (64, 64)):
         rng = jax.random.key(0)
     m = SuperSloMo()
     h, w = _pad32(*size)
-    params = m.init(rng, jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3)),
+    params = jax.jit(m.init, static_argnums=3)(rng, jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3)),
                     (0.5,))
     return m, params
 

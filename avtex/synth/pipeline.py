@@ -80,13 +80,13 @@ def synthesize(cfg: Config, video_path: str, params,
                 else x[:, None])
         qa = jnp.zeros((1, 100, 64)) if cfg.model_type == 2 else None
         ta = jnp.zeros((1, 1, 100, 64)) if cfg.model_type == 2 else None
-        params = model.init(jax.random.key(cfg.seed), x, t_in, qa, ta)
+        params = jax.jit(model.init)(jax.random.key(cfg.seed), x, t_in, qa, ta)
 
     # ---- embed once ---------------------------------------------------- #
-    windows = gather_windows(video, W, S, "val")
     with Timer() as t:
         if mesh is not None:
             from avtex.parallel import sharded_embed_segments
+            windows = gather_windows(video, W, S, "val")
             q_table = sharded_embed_segments(
                 model, params, mesh, windows, audio_examples,
                 tower="query", img_size=cfg.img_size)
@@ -94,8 +94,9 @@ def synthesize(cfg: Config, video_path: str, params,
                 model, params, mesh, windows, audio_examples,
                 tower="target", img_size=cfg.img_size)
         else:
-            q_table, t_table = precompute_embeddings(
-                model, params, windows, audio_examples,
+            from .embeddings import precompute_embeddings_from_video
+            q_table, t_table = precompute_embeddings_from_video(
+                model, params, video, W, S, L, audio_examples,
                 img_size=cfg.img_size, batch_size=cfg.mini_batchsize)
     timings["embed_s"] = t.elapsed
 
@@ -109,7 +110,46 @@ def synthesize(cfg: Config, video_path: str, params,
     # ---- driving-audio rows -------------------------------------------- #
     audio_logits = None
     seed_id = min(cfg.start_segment, L - 1)
-    if driving_examples is not None and audio_examples is not None:
+    if driving_examples is not None and cfg.da_feats == "Contrastive":
+        # audio->video retrieval head (reference: validate.py:268-296)
+        from avtex.contrastive.audio_retrieval import (VideoForAudio,
+                                                       video_for_audio_logits)
+        from avtex.data.preprocess import preprocess_clip
+        vfa = VideoForAudio(arch=cfg.enc_arch if cfg.enc_arch != "slowfast"
+                            else "resnet18", temp=cfg.temp)
+        windows = gather_windows(video, W, S, "val")
+        x0 = preprocess_clip(jnp.asarray(windows[:1]), size=cfg.img_size)
+        vfa_params = jax.jit(vfa.init)(jax.random.key(cfg.seed), jnp.zeros((1, 100, 64)),
+                              x0[:, None])
+        if cfg.daf_resume:
+            from avtex.train.checkpoint import restore_checkpoint
+            payload = restore_checkpoint(cfg.daf_resume[0], vfa_params)
+            if payload is not None:
+                vfa_params = payload["state"]
+
+        @jax.jit
+        def embed_v(p, frames):
+            xx = preprocess_clip(frames, size=cfg.img_size)
+            return vfa.apply(p, xx, method=vfa.embed_video)
+
+        tables = []
+        bsz = max(cfg.mini_batchsize, 1)
+        for b0 in range(0, L, bsz):
+            chunk = windows[b0:b0 + bsz]
+            pad = bsz - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            emb = embed_v(vfa_params, jnp.asarray(chunk))
+            tables.append(emb[:bsz - pad] if pad else emb)
+        v_table = jnp.concatenate(tables)
+        steps_ids = np.minimum(np.arange(steps), len(driving_examples) - 1)
+        audio_logits = video_for_audio_logits(
+            vfa, vfa_params, driving_examples[steps_ids], v_table, cfg.temp)
+        if audio_examples is not None:
+            seed_id = min(seed_segment(jnp.asarray(audio_examples),
+                                       jnp.asarray(driving_examples[0])),
+                          L - 1)
+    elif driving_examples is not None and audio_examples is not None:
         if cfg.da_feats == "Mel":
             src = jnp.asarray(audio_examples.reshape(len(audio_examples), -1))
             drv = jnp.asarray(
@@ -117,7 +157,7 @@ def synthesize(cfg: Config, video_path: str, params,
         else:  # "VGG" (default): raw VGGish conv features
             from avtex.nn.vggish import VGGish
             vg = VGGish()
-            vparams = vg.init(jax.random.key(0),
+            vparams = jax.jit(vg.init)(jax.random.key(0),
                               jnp.zeros((1,) + audio_examples.shape[1:]))
             src = vggish_audio_features(vg, vparams, audio_examples)
             drv = vggish_audio_features(vg, vparams, driving_examples)

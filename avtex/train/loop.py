@@ -93,7 +93,7 @@ def create_state(model: ContrastiveTextures, cfg: Config,
                if "q_audio" in sample_batch else None)
     t_audio = (jnp.asarray(sample_batch["t_audio"][:1, :2])
                if "t_audio" in sample_batch else None)
-    params = model.init(rng, q_in, t_in, q_audio, t_audio)
+    params = jax.jit(model.init)(rng, q_in, t_in, q_audio, t_audio)
 
     schedule = optax.piecewise_constant_schedule(
         cfg.lr, {steps_per_epoch * cfg.lr_steps: 0.1})
