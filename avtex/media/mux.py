@@ -54,8 +54,11 @@ def mux_audio_video(frames: np.ndarray, audio: Optional[np.ndarray],
     try:
         from . import avimux
         avi_path = os.path.splitext(out_path)[0] + ".avi"
-        return avimux.write_avi(avi_path, frames, fps,
-                                audio=np.asarray(audio), sample_rate=sample_rate)
+        out = avimux.write_avi(avi_path, frames, fps,
+                               audio=np.asarray(audio),
+                               sample_rate=sample_rate)
+        os.remove(wav_path)  # audio is in the container
+        return out
     except Exception:  # noqa: BLE001 - fall back to sidecar audio
         write_video(frames, out_path, fps)
         return out_path

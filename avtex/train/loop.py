@@ -109,11 +109,13 @@ def create_state(model: ContrastiveTextures, cfg: Config,
 def train_video(cfg: Config, frames: np.ndarray,
                 audio_examples: Optional[np.ndarray] = None,
                 logger=None, epochs: Optional[int] = None,
-                log_every: int = 10) -> Tuple[train_state.TrainState, List[float]]:
+                log_every: int = 10, resume: Optional[str] = None
+                ) -> Tuple[train_state.TrainState, List[float]]:
     """Train the contrastive model on one video (reference: main.py:450-477).
 
     Returns (final state, per-epoch mean losses). Early-stops when epoch
-    loss < cfg.early_stop_loss.
+    loss < cfg.early_stop_loss. ``resume``: checkpoint path to restore
+    params/epoch from before continuing (reference: main.py:356-370).
     """
     if cfg.model_type == 2 and audio_examples is None:
         raise TrainConfigError("model_type=2 requires audio examples")
@@ -130,14 +132,23 @@ def train_video(cfg: Config, frames: np.ndarray,
     data.drop_last = data.n_train >= data.batch_size
     sample = next(data.epoch())
     state, tx = create_state(model, cfg, sample, len(data), slowfast)
+
+    start_epoch = 0
+    if resume:
+        from .checkpoint import restore_checkpoint
+        payload = restore_checkpoint(resume, state.params)
+        if payload is not None:
+            state = state.replace(params=payload["state"])
+            start_epoch = int(payload["epoch"])
+
     step_fn = make_train_step(model, tx, cfg.img_size, slowfast)
     rng = jax.random.key(cfg.seed + 1)
 
     history: List[float] = []
     best = float("inf")
     n_epochs = epochs if epochs is not None else cfg.epochs
-    global_step = 0
-    for epoch in range(n_epochs):
+    global_step = start_epoch * len(data)
+    for epoch in range(start_epoch, n_epochs):
         meter = AverageMeter()
         t0 = time.perf_counter()
         for batch in prefetch(data.epoch()):

@@ -1,0 +1,130 @@
+"""Tests for the long-tail parity components: P_audio, visualizations,
+joint AV net, retrieval trainer, optical flow, weight conversion."""
+
+import numpy as np
+import pytest
+
+
+def test_compute_paudio(rng):
+    import jax.numpy as jnp
+    from avtex.classic.paudio import compute_paudio
+    segs = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
+    p = np.asarray(compute_paudio(segs[3], segs))
+    assert p.shape == (8,)
+    np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-5)
+    assert p.argmax() == 3  # self-similarity wins
+
+
+def test_overlay_cam_and_barplot(tmp_path, rng):
+    from avtex.obs.visualizations import overlay_cam, save_bar_plot
+    img = (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+    cam = rng.random((8, 12))
+    out = overlay_cam(img, cam)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    p = save_bar_plot([1.0, 2.0, 0.5], str(tmp_path / "e.png"), "entropy")
+    import os
+    assert os.path.getsize(p) > 0
+
+
+def test_html_report(tmp_path):
+    from avtex.obs.visualizations import generate_html_report
+    p = generate_html_report(str(tmp_path / "r.html"),
+                             {"tex": "a.mp4"}, {"jumps": 3})
+    with open(p) as f:
+        doc = f.read()
+    assert "a.mp4" in doc and "jumps" in doc
+
+
+def test_av_features_net(rng):
+    import jax
+    import jax.numpy as jnp
+    from avtex.contrastive.av_features import AudioVisualFeatures
+    m = AudioVisualFeatures(emb_dim=32)
+    clip = jnp.asarray(rng.random((2, 4, 16, 16, 3)), jnp.float32)
+    wav = jnp.asarray(rng.random((2, 4096)), jnp.float32)
+    params = jax.jit(m.init)(jax.random.key(0), clip, wav)
+    out = m.apply(params, clip, wav)
+    assert out.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1), 1.0,
+                               atol=1e-3)
+
+
+def test_retrieval_trainer_runs(rng):
+    from avtex.contrastive.retrieval_train import train_video_for_audio
+    frames = (rng.random((30, 16, 16, 3)) * 255).astype(np.uint8)
+    audio = rng.random((12, 100, 64)).astype(np.float32)
+    model, params, history = train_video_for_audio(
+        frames, audio, window=4, stride=2, arch="resnet10", img_size=16,
+        batch_size=4, n_negs=2, epochs=1)
+    assert len(history) == 1 and np.isfinite(history[0])
+
+
+def test_farneback_flow(rng):
+    from avtex.utils.flow import farneback_flow
+    frames = (rng.random((4, 32, 32, 3)) * 255).astype(np.uint8)
+    flow = farneback_flow(frames)
+    assert flow.shape == (3, 32, 32, 2)
+
+
+def test_vggish_weight_conversion(rng):
+    """Roundtrip: synth torch-layout weights -> flax; outputs must change
+    deterministically to the converted values."""
+    import jax
+    import jax.numpy as jnp
+    from avtex.nn.vggish import VGGish
+    from avtex.utils.convert import convert_vggish
+
+    m = VGGish()
+    x = jnp.asarray(rng.random((1, 100, 64)), jnp.float32)
+    params = jax.jit(m.init)(jax.random.key(0), x)
+
+    # fabricate a torch state dict with the right conv shapes
+    shapes = [(64, 1), (128, 64), (256, 128), (256, 256), (512, 256),
+              (512, 512)]
+    torch_state = {}
+    for i, (out_c, in_c) in enumerate(shapes):
+        torch_state[f"features.{i}.weight"] = \
+            rng.standard_normal((out_c, in_c, 3, 3)).astype(np.float32)
+        torch_state[f"features.{i}.bias"] = \
+            rng.standard_normal(out_c).astype(np.float32)
+
+    new_params = convert_vggish(torch_state, params)
+    k0 = np.asarray(jax.tree.leaves(new_params)[0])
+    # first conv kernel must equal the transposed torch weight
+    expect = np.transpose(torch_state["features.0.weight"], (2, 3, 1, 0))
+    found = False
+    for leaf in jax.tree.leaves(new_params):
+        if np.shape(leaf) == expect.shape and np.allclose(leaf, expect):
+            found = True
+    assert found
+
+
+def test_convert_shape_mismatch_raises(rng):
+    import jax
+    import jax.numpy as jnp
+    from avtex.nn.vggish import VGGish
+    from avtex.utils.convert import convert_vggish
+    m = VGGish()
+    params = jax.jit(m.init)(jax.random.key(0),
+                             jnp.zeros((1, 100, 64)))
+    bad = {"features.0.weight": np.zeros((7, 7, 3, 3), np.float32)}
+    with pytest.raises(ValueError):
+        convert_vggish(bad, params)
+
+
+def test_train_resume(tmp_path, rng):
+    from avtex.config import Config
+    from avtex.train import save_checkpoint, train_video
+    t, h, w = 40, 24, 24
+    _, xx = np.mgrid[0:h, 0:w]
+    vid = np.clip(np.stack([np.sin(xx / 3 + i / 2) * 100 + 127
+                            for i in range(t)])[..., None].repeat(3, -1),
+                  0, 255).astype(np.uint8)
+    cfg = Config(enc_arch="resnet10", model_type=1, img_size=32, window=4,
+                 train_stride=2, stride=2, n_negs=4, batch_size=4,
+                 early_stop_loss=1e-9)
+    state, history = train_video(cfg, vid, epochs=1)
+    path = save_checkpoint(str(tmp_path), "r", state.params, 1, "resnet10",
+                           history[0], is_best=True)
+    state2, history2 = train_video(cfg, vid, epochs=3, resume=path)
+    assert len(history2) == 2  # resumed at epoch 1 of 3
