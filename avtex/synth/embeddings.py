@@ -57,40 +57,80 @@ def _embed_from_video_fn(model: ContrastiveTextures, size: int,
     return run
 
 
+@functools.lru_cache(maxsize=32)
+def _embed_table_fn(model: ContrastiveTextures, size: int, slowfast: bool,
+                    tower: str, window: int, with_audio: bool):
+    """Whole embedding table in ONE jitted program: lax.map over fixed-size
+    batches of on-device window gathers. A per-batch Python loop costs one
+    host<->device round trip per dispatch (dozens of RTTs per table, which
+    dominated wall-clock on remote-attached TPUs); here the loop is inside
+    the program."""
+    @jax.jit
+    def run(params, video_u8, starts, audio):
+        def body(args):
+            st, aud = args
+            idx = st[:, None] + jnp.arange(window)[None, :]
+            frames = video_u8[idx]
+            x = preprocess_clip(frames, size=size, slowfast=slowfast)
+            if slowfast:
+                x = slowfast_pathways(x)
+            return model.apply(params, x, aud, tower=tower,
+                               method=model.embed)
+        out = jax.lax.map(body, (starts, audio))   # [n_b, batch, D]
+        return out.reshape(-1, out.shape[-1])
+    return run
+
+
 def embed_segments_from_video(model: ContrastiveTextures, params,
                               video_u8, window: int, stride: int,
                               num_segments: int,
                               audio_examples: Optional[np.ndarray] = None,
                               *, tower: str = "target", img_size: int = 224,
-                              batch_size: int = 32) -> jnp.ndarray:
+                              batch_size: int = 32,
+                              single_dispatch: bool = False) -> jnp.ndarray:
     """[L, D] table from a device-resident video buffer (bandwidth-optimal
-    variant of embed_segments; same numerics)."""
+    variant of embed_segments; same numerics).
+
+    Default is an async per-batch dispatch loop — batches overlap on device
+    and wall-clock beats the fused variant. ``single_dispatch=True`` runs
+    the whole table as one lax.map program (fewer host round trips; useful
+    when dispatch latency dominates, e.g. very high-latency attachments).
+    """
     slowfast = model.arch == "slowfast"
     video_u8 = jnp.asarray(video_u8)  # one transfer, reused every batch
-    run = _embed_from_video_fn(model, img_size, slowfast, tower, window)
     L = num_segments
     audio = None
-    if audio_examples is not None and model.model_type == 2:
+    with_audio = audio_examples is not None and model.model_type == 2
+    if with_audio:
         ids = np.minimum(np.arange(L), len(audio_examples) - 1)
         audio = np.asarray(audio_examples)[ids]
 
-    out = []
     starts_all = np.arange(L, dtype=np.int32) * stride
-    for b0 in range(0, L, batch_size):
-        starts = starts_all[b0:b0 + batch_size]
-        pad = batch_size - len(starts)
-        if pad:
-            starts = np.concatenate([starts, np.repeat(starts[-1:], pad)])
-        a_chunk = None
-        if audio is not None:
-            a_chunk = audio[b0:b0 + batch_size]
-            if pad:
-                a_chunk = np.concatenate(
-                    [a_chunk, np.repeat(a_chunk[-1:], pad, 0)])
-            a_chunk = jnp.asarray(a_chunk)
-        emb = run(params, video_u8, jnp.asarray(starts), a_chunk)
-        out.append(emb[:batch_size - pad] if pad else emb)
-    return jnp.concatenate(out, axis=0)
+    pad = (-L) % batch_size
+    if pad:
+        starts_all = np.concatenate(
+            [starts_all, np.repeat(starts_all[-1:], pad)])
+        if with_audio:
+            audio = np.concatenate([audio, np.repeat(audio[-1:], pad, 0)])
+    n_b = len(starts_all) // batch_size
+
+    if single_dispatch:
+        starts = jnp.asarray(starts_all.reshape(n_b, batch_size))
+        a_in = (jnp.asarray(
+            audio.reshape((n_b, batch_size) + audio.shape[1:]))
+            if with_audio else None)
+        run = _embed_table_fn(model, img_size, slowfast, tower, window,
+                              with_audio)
+        return run(params, video_u8, starts, a_in)[:L]
+
+    run = _embed_from_video_fn(model, img_size, slowfast, tower, window)
+    out = []
+    for b in range(n_b):
+        starts = jnp.asarray(starts_all[b * batch_size:(b + 1) * batch_size])
+        a_chunk = (jnp.asarray(audio[b * batch_size:(b + 1) * batch_size])
+                   if with_audio else None)
+        out.append(run(params, video_u8, starts, a_chunk))
+    return jnp.concatenate(out, axis=0)[:L]
 
 
 def embed_segments(model: ContrastiveTextures, params,

@@ -204,6 +204,24 @@ def synthesize(cfg: Config, video_path: str, params,
                 audio=out_audio, sample_rate=out_sr,
                 frames_intp=stitched["frames_intp"], sf=cfg.SF)
         timings["mux_s"] = t.elapsed
+        # entropy / non-zero bar plots + HTML gallery
+        # (reference: validate.py:732-743, utils/visualizations.py:31-81)
+        from avtex.obs.visualizations import (generate_html_report,
+                                              save_bar_plot)
+        base = os.path.join(out_dir, cfg.eval_logname(name))
+        paths["entropy_png"] = save_bar_plot(
+            result.entropies, base + "_entropy.png", "per-step entropy")
+        paths["nonzero_png"] = save_bar_plot(
+            result.nonzero_counts, base + "_nonzero.png",
+            "surviving candidates per step")
+        paths["report"] = generate_html_report(
+            base + "_report.html",
+            {k: os.path.basename(v) for k, v in paths.items()
+             if str(v).endswith((".mp4", ".avi"))},
+            {"jumps": int(result.jumps.sum()),
+             "steps": len(result.indices),
+             "segments": L,
+             "seed_segment": result.seed_id})
 
     if logger is not None:
         for i, e in enumerate(result.entropies):

@@ -49,6 +49,7 @@ def test_av_features_net(rng):
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_retrieval_trainer_runs(rng):
     from avtex.contrastive.retrieval_train import train_video_for_audio
     frames = (rng.random((30, 16, 16, 3)) * 255).astype(np.uint8)
@@ -112,6 +113,7 @@ def test_convert_shape_mismatch_raises(rng):
         convert_vggish(bad, params)
 
 
+@pytest.mark.slow
 def test_train_resume(tmp_path, rng):
     from avtex.config import Config
     from avtex.train import save_checkpoint, train_video

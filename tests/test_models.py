@@ -20,7 +20,7 @@ def test_encoder_feat_dims(arch, expect_dim):
     assert kind == ("slowfast" if arch == "slowfast" else "clip")
 
 
-@pytest.mark.parametrize("arch", ["resnet10", "densenet121"])
+@pytest.mark.parametrize("arch", ["resnet10"])
 def test_clip_encoder_forward(arch):
     module, feat_dim, _ = build_encoder(arch)
     x = jnp.zeros((2, 4, 32, 32, 3))
@@ -30,6 +30,7 @@ def test_clip_encoder_forward(arch):
     assert out.dtype == jnp.float32
 
 
+@pytest.mark.slow
 def test_slowfast_forward():
     module, feat_dim, _ = build_encoder("slowfast")
     frames = jnp.zeros((1, 10, 24, 24, 3))
@@ -72,6 +73,7 @@ def test_contrastive_logits_shape_and_scale():
     assert np.all(np.abs(np.asarray(logits)) <= 1.0 / 0.1 + 1e-4)
 
 
+@pytest.mark.slow
 def test_contrastive_audio_model():
     m = ContrastiveTextures(arch="resnet10", model_type=2, temp=0.1)
     rng = np.random.default_rng(0)

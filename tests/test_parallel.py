@@ -54,6 +54,7 @@ def test_param_shardings_tp_rules(mesh):
     assert all("audio_mlp" in k for k in tp), "only the MLP should be sharded"
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs(mesh, rng):
     """DP train step over the full mesh: one step, finite loss."""
     import optax

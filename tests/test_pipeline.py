@@ -17,7 +17,7 @@ def tiny_clip(tmp_path_factory):
     vid = np.stack([np.sin(xx / 4 + i / 3) * 100 + 127 for i in range(t)])
     vid = np.clip(vid[..., None].repeat(3, -1) + yy[..., None], 0, 255)
     video_path = str(d / "clip.mp4")
-    write_video(vid.astype(np.uint8), video_path, fps=10.0)
+    write_video(vid.astype(np.uint8), video_path, fps=8.0)
     sr = 16000
     wav = (0.3 * np.sin(np.arange(sr * 8) / sr * 2 * np.pi * 220)
            ).astype(np.float32)
@@ -34,8 +34,8 @@ def test_synthesize_end_to_end(tiny_clip, tmp_path):
     out = synthesize(cfg, tiny_clip["video"], params=None,
                      audio_path=tiny_clip["audio"],
                      out_dir=str(tmp_path))
-    # fps=10 -> W=5, S=2
-    assert out["window"] == 5 and out["stride"] == 2
+    # fps=8 -> W=4, S=2 (same geometry as the train tests: compile reuse)
+    assert out["window"] == 4 and out["stride"] == 2
     r = out["result"]
     assert len(r.indices) >= 1
     assert "texture" in out["paths"] and os.path.exists(out["paths"]["texture"])
@@ -69,12 +69,12 @@ def test_contrastive_cli_train_and_eval(tiny_clip, tmp_path):
     from avtex.cli.main import main
     ckpt = str(tmp_path / "ckpt")
     main(["-m", "1", "-vdata", tiny_clip["dir"], "-vl", "clip",
-          "-ea", "resnet10", "-size", "32", "-bs", "4", "-negs", "2",
+          "-ea", "resnet10", "-size", "32", "-bs", "4", "-negs", "4",
           "-epochs", "1", "-ckpt", ckpt,
           "-logdir", str(tmp_path / "logs")])
     assert os.listdir(ckpt)
     main(["-m", "1", "-e", "-vdata", tiny_clip["dir"], "-vl", "clip",
-          "-ea", "resnet10", "-size", "32", "-bs", "4", "-negs", "2",
+          "-ea", "resnet10", "-size", "32", "-bs", "4", "-negs", "4",
           "-th", "0.5", "-nvl", "2", "-ckpt", ckpt, "-nintp",
           "-results_folder", str(tmp_path / "res"),
           "-logdir", str(tmp_path / "logs")])

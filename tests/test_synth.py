@@ -147,6 +147,7 @@ def test_stitch_texture_jump_interp(rng):
     assert len(out["frames_intp"]) == 24
 
 
+@pytest.mark.slow
 def test_slomo_interp_shapes():
     from avtex.synth.interp import init_slomo, make_interp_fn
     m, params = init_slomo(size=(32, 48))

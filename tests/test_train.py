@@ -27,6 +27,7 @@ def tiny_video(rng):
     return np.clip(vid[..., None].repeat(3, -1), 0, 255).astype(np.uint8)
 
 
+@pytest.mark.slow
 def test_train_loop_runs_and_improves(tiny_cfg, tiny_video):
     state, history = train_video(tiny_cfg, tiny_video, epochs=3)
     assert len(history) == 3
@@ -49,6 +50,7 @@ def test_checkpoint_roundtrip(tmp_path, tiny_cfg, tiny_video):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_early_stop(tiny_video):
     cfg = Config(enc_arch="resnet10", model_type=1, img_size=32, window=4,
                  train_stride=2, stride=2, n_negs=4, batch_size=4,
@@ -68,3 +70,46 @@ def test_data_pipeline_batch_contract(tiny_video):
     q0 = int(batch["q_ids"][0])
     np.testing.assert_array_equal(batch["t_frames"][0, 0],
                                   data.windows[q0 + 1])
+
+
+@pytest.mark.slow
+def test_single_batch_overfit(tiny_video):
+    """The decisive learnability check: loss must collapse on one batch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from avtex.contrastive.model import ContrastiveTextures
+    from avtex.data.pipeline import SegmentBatches
+    from avtex.data.preprocess import preprocess_clip
+
+    model = ContrastiveTextures(arch="resnet10", model_type=1, temp=0.1)
+    data = SegmentBatches(tiny_video, window=4, stride=2, n_negs=4,
+                          batch_size=4, seed=0, drop_last=True)
+    batch = next(data.epoch())
+    qf = jnp.asarray(batch["q_frames"])
+    tf = jnp.asarray(batch["t_frames"])
+
+    def prep(q, t):
+        x = preprocess_clip(q, size=24)
+        tt = preprocess_clip(t.reshape((-1,) + t.shape[2:]), size=24)
+        return x, tt.reshape(t.shape[:2] + tt.shape[1:])
+
+    x, tx = prep(qf, tf)
+    params = jax.jit(model.init)(jax.random.key(0), x, tx)
+    opt = optax.sgd(0.1, momentum=0.9)
+    ostate = opt.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def loss_fn(pp):
+            q, tt = prep(qf, tf)
+            logits = model.apply(pp, q, tt)
+            return -jnp.mean(jax.nn.log_softmax(logits, -1)[:, 0])
+        l, g = jax.value_and_grad(loss_fn)(p)
+        u, o = opt.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    loss = None
+    for _ in range(250):
+        params, ostate, loss = step(params, ostate)
+    assert float(loss) < 0.2, f"failed to overfit one batch: {float(loss)}"
