@@ -59,7 +59,22 @@ def distance_to_transition_probs(d: jnp.ndarray, sigma_factor: float
 
 def compute_d1(feats: jnp.ndarray, sigma_factor: float, normalize: bool = False
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(D1, P1, sigma) — API parity with reference compute_D1."""
-    d1 = pairwise_l2(feats, normalize=normalize)
+    """(D1, P1, sigma) — API parity with reference compute_D1.
+
+    On TPU with a large feature dim the tiled Pallas kernel
+    (avtex/ops/pairwise.py) replaces the XLA Gram form: it streams the
+    feature axis through VMEM instead of materializing the full fp32 Gram
+    operands (the analogue of the reference's `slow` tiling mode,
+    computeD1.py:58-96 — chosen automatically instead of by flag).
+    """
+    import jax
+    x = feats.reshape(feats.shape[0], -1)
+    use_pallas = (jax.default_backend() == "tpu"
+                  and x.shape[0] * x.shape[1] > 32_000_000)
+    if use_pallas:
+        from avtex.ops import pairwise_l2_pallas
+        d1 = pairwise_l2_pallas(x, normalize=normalize)
+    else:
+        d1 = pairwise_l2(x, normalize=normalize)
     p1, sigma = distance_to_transition_probs(d1, sigma_factor)
     return d1, p1, sigma

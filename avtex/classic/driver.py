@@ -19,7 +19,6 @@ import numpy as np
 from avtex.config import ClassicConfig
 from avtex.media import read_video, read_wav, save_texture_outputs
 from avtex.obs import Logger
-from avtex.synth.stitcher import expand_subsample
 
 from .d1 import compute_d1
 from .d2 import compute_d2

@@ -21,10 +21,9 @@ avtex/synth/.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from avtex.nn.encoders import build_encoder

@@ -9,7 +9,7 @@ negatives are other segments of the same video.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

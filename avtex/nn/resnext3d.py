@@ -12,9 +12,6 @@ from __future__ import annotations
 import functools
 from typing import Any, Sequence
 
-import flax.linen as nn
-import jax.numpy as jnp
-
 from .resnet3d import Bottleneck3D, ResNet3D
 
 

@@ -24,7 +24,7 @@ from avtex.contrastive.segments import gather_windows, num_segments
 from avtex.media import read_video, read_wav, save_texture_outputs
 from avtex.obs import Timer
 
-from .embeddings import precompute_embeddings, vggish_audio_features
+from .embeddings import vggish_audio_features
 from .engine import (driving_audio_logits, num_synthesis_steps, seed_segment,
                      synthesize_indices)
 from .stitcher import stitch_texture

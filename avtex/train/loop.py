@@ -9,9 +9,8 @@ stop at epoch loss < 0.07 match main.py:185-203,475-477.
 
 from __future__ import annotations
 
-import functools
 import time
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
