@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from avtex.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from avtex.classic.driver import run_classic
     from avtex.config import ClassicConfig
     from avtex.obs import Logger

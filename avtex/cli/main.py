@@ -180,6 +180,8 @@ def run_one_video(cfg, video_name: str, mesh=None) -> None:
 
 
 def main(argv=None) -> None:
+    from avtex.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     cfg = args_to_config(args)
     if not cfg.video_list:

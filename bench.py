@@ -23,6 +23,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from avtex.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from avtex.config import Config
     from avtex.contrastive.model import ContrastiveTextures
     from avtex.contrastive.segments import num_segments
@@ -53,8 +56,15 @@ def main() -> None:
     x = preprocess_clip(jnp.asarray(video[None, :W]), size=res, slowfast=True)
     sf = slowfast_pathways(x)
     t_in = tuple(p[:, None] for p in sf)
-    params = jax.jit(model.init)(jax.random.key(0), sf, t_in)
-    print(f"[bench] model.init {time.perf_counter() - ti:.1f}s",
+    # Values are irrelevant for throughput: materialize the param tree from
+    # eval_shape (no init-program compile, saves ~40-60 s of bench setup).
+    shapes = jax.eval_shape(model.init, jax.random.key(0), sf, t_in)
+    host_rng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(
+            host_rng.standard_normal(s.shape).astype(s.dtype) * 0.05),
+        shapes)
+    print(f"[bench] params ready {time.perf_counter() - ti:.1f}s",
           file=sys.stderr, flush=True)
 
     batch = 32
