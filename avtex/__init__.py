@@ -9,7 +9,8 @@ Subpackages
 -----------
 - ``avtex.config``      — single dataclass config mirroring the reference CLI
   (reference: contrastive_video_textures/main.py:41-296).
-- ``avtex.media``       — host-side media I/O (video decode, wav, muxing).
+- ``avtex.media``       — host-side media I/O (video decode, wav, native AVI muxing).
+- ``avtex.data``        — segment batch sampler, prefetch, device-side preprocessing.
 - ``avtex.audio``       — jnp log-mel frontend (VGGish feature semantics).
 - ``avtex.nn``          — flax encoders: SlowFast-R50, 3D ResNet/ResNeXt/DenseNet,
   VGGish, SuperSloMo UNet.
@@ -20,8 +21,11 @@ Subpackages
 - ``avtex.baselines``   — audio-NN / random / random-segment / random-shift.
 - ``avtex.train``       — optax train loop, checkpoint latest/best contract.
 - ``avtex.parallel``    — jax.sharding mesh setup + sharded embedding pass.
-- ``avtex.obs``         — meters, loggers, profiler hooks.
+- ``avtex.obs``         — meters, loggers, visualizations, profiler hooks.
 - ``avtex.cli``         — reference-compatible command-line drivers.
+- ``avtex.utils``       — optical flow, torch-checkpoint conversion, batching
+  parity helpers, XLA compile cache.
+- ``avtex.native``      — C++ runtime (AVI muxer, frame stitcher) via ctypes.
 """
 
 __version__ = "0.1.0"

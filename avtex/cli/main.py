@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--model_type", type=int, default=1,
                    help="(1) video textures (2) audio+video textures")
     p.add_argument("-e", "--evaluate", action="store_true")
+    p.add_argument("-ve", "--visualize_evaluate", action="store_true",
+                   help="log extra synthesis figures to TensorBoard")
     p.add_argument("-ea", "--enc_arch", default="resnet18")
     p.add_argument("-vdata", default=None, help="dir of <name>.mp4 videos")
     p.add_argument("-adata", default=None, help="dir of <name>.wav audio")
@@ -84,7 +86,8 @@ def args_to_config(args: argparse.Namespace):
         batch_size=args.batch_size, mini_batchsize=args.mini_batchsize,
         lr=args.lr, lr_steps=args.lr_steps, momentum=args.momentum,
         weight_decay=args.weight_decay, workers=args.workers,
-        resume=args.resume, evaluate=args.evaluate, logdir=args.logdir,
+        resume=args.resume, evaluate=args.evaluate,
+        visualize_evaluate=args.visualize_evaluate, logdir=args.logdir,
         logname=args.logname, results_folder=args.results_folder,
         ckpt=args.ckpt,
     )

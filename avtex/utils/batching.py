@@ -1,0 +1,61 @@
+"""Chunking machinery for scoring long videos on fixed memory.
+
+API parity with the reference's batching utils (reference:
+utils/utils.py:192-260): pad-split a [1, N, ...] tensor into fixed batches,
+split a flat frame array into overlapping chunks that each yield
+``max_segments`` windows, and re-combine per-device outputs.
+
+In avtex's embed-once design this machinery mostly *disappears*
+(SURVEY.md §2.5 item 2) — the segment axis is batched by
+avtex.synth.embeddings and sharded by avtex.parallel — but the functions
+are provided (numpy, zero-copy where possible) for users porting reference
+workflows.
+
+Note: the reference's chunk start ``idx * S * (max_segments - 1)`` yields
+chunks that *overlap by one segment* (its models re-slice mbs windows per
+chunk, so consecutive chunks share a window); reproduced exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+
+def split_into_batches(x: np.ndarray, max_segments: int
+                       ) -> Tuple[np.ndarray, int]:
+    """[1, N, ...] -> ([ceil(N/m), m, ...] zero-padded, N)."""
+    assert x.shape[0] == 1
+    n = x.shape[1]
+    num_batches = math.ceil(n / max_segments)
+    out = np.zeros((num_batches, max_segments) + x.shape[2:], dtype=x.dtype)
+    for idx in range(num_batches):
+        start = idx * max_segments
+        end = min(start + max_segments, n)
+        out[idx, : end - start] = x[0, start:end]
+    return out, n
+
+
+def split_into_overlapping_segments(x: np.ndarray, max_segments: int,
+                                    window: int, stride: int
+                                    ) -> Tuple[np.ndarray, int]:
+    """[N, ...] frames -> ([B, m*S + W, ...] overlapping chunks, N)."""
+    n = x.shape[0]
+    total_segments = math.ceil((n - window) / stride)
+    chunk = max_segments * stride + window
+    batches = math.ceil(total_segments / max_segments)
+    out = np.zeros((batches, chunk) + x.shape[1:], dtype=x.dtype)
+    for idx in range(batches):
+        start = idx * stride * (max_segments - 1)
+        end = min(start + chunk, n)
+        out[idx, : end - start] = x[start:end]
+    return out, n
+
+
+def combine_batches(x: np.ndarray, num_valid: int) -> np.ndarray:
+    """[G, N/G, ...] -> [1, num_valid, ...] (inverse of split_into_batches)."""
+    g, per = x.shape[:2]
+    assert num_valid <= g * per
+    return x.reshape((1, g * per) + x.shape[2:])[:, :num_valid]

@@ -148,3 +148,34 @@ def test_log_mel_matches_reference():
     ours = np.asarray(log_mel_spectrogram(wav.astype(np.float32)))
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_batching_utils_match_reference():
+    """avtex.utils.batching vs the reference's torch implementations."""
+    import importlib.util
+    import torch
+    spec = importlib.util.spec_from_file_location(
+        "ref_utils", "/root/reference/contrastive_video_textures/utils/utils.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from avtex.utils.batching import (combine_batches, split_into_batches,
+                                      split_into_overlapping_segments)
+
+    g = np.random.default_rng(5)
+    x = g.random((1, 13, 4, 4)).astype(np.float32)
+    ours, n1 = split_into_batches(x, 5)
+    theirs, n2 = ref.split_into_batches(torch.tensor(x), 5)
+    assert n1 == n2
+    np.testing.assert_array_equal(ours, theirs.numpy())
+
+    frames = g.random((37, 4)).astype(np.float32)
+    ours2, m1 = split_into_overlapping_segments(frames, 4, 6, 2)
+    theirs2, m2 = ref.split_into_overlapping_segments(
+        torch.tensor(frames), 4, 6, 2)
+    assert m1 == m2
+    np.testing.assert_array_equal(ours2, theirs2.numpy())
+
+    back = combine_batches(ours, 13)
+    ref_back = ref.combine_batches(theirs, 13)
+    np.testing.assert_array_equal(back, ref_back.numpy())
