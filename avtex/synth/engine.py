@@ -66,24 +66,28 @@ def seed_segment(audio_examples: Optional[jnp.ndarray],
 
 
 @functools.partial(jax.jit, static_argnames=("num_steps",))
-def _walk(q_table: jnp.ndarray, t_table: jnp.ndarray, temp: float,
-          audio_logits: Optional[jnp.ndarray],
+def _walk(q_table: jnp.ndarray, t_table: jnp.ndarray, true_l: jnp.ndarray,
+          temp: float, audio_logits: Optional[jnp.ndarray],
           seed_id: int, num_steps: int, alpha: float, threshold: float,
           rng: jax.Array):
     # The [L, L] logit matrix fuses into the same program as the scan —
-    # one dispatch for the whole walk.
+    # one dispatch for the whole walk. Tables arrive padded to a bucket
+    # size; ``true_l`` (traced) masks the padding, so one compiled program
+    # serves every video in the bucket (walk compiles are minutes on
+    # remote-attached TPUs).
     video_logits = jax.lax.dot_general(
         q_table, t_table,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) / temp
     L = video_logits.shape[0]
     ids = jnp.arange(L)
+    valid = ids < true_l
 
     def step(carry, inp):
         q_id = carry
         key, audio_row = inp
-        pos = jnp.minimum(q_id + 1, L - 1)
-        cand = (ids != q_id) | (pos == q_id)
+        pos = jnp.minimum(q_id + 1, true_l - 1)
+        cand = ((ids != q_id) | (pos == q_id)) & valid
 
         def norm(row):
             row = jnp.where(cand, row, 0.0)
@@ -141,16 +145,32 @@ def synthesize_indices(q_table: jnp.ndarray, t_table: jnp.ndarray,
     """
     if rng is None:
         rng = jax.random.key(0)
-    outs = _walk(q_table, t_table, temp, audio_logits, seed_id, num_steps,
-                 alpha, threshold, rng)
+
+    # Shape bucketing: pad the segment axis to a multiple of 128 and the
+    # step count to a multiple of 64 so recompiles amortize across videos.
+    L, D = q_table.shape
+    l_pad = (-L) % 128
+    if l_pad:
+        q_table = jnp.pad(q_table, ((0, l_pad), (0, 0)))
+        t_table = jnp.pad(t_table, ((0, l_pad), (0, 0)))
+    steps_pad = -(-num_steps // 64) * 64
+    if audio_logits is not None:
+        audio_logits = jnp.pad(
+            audio_logits,
+            ((0, steps_pad - audio_logits.shape[0]), (0, l_pad)),
+            mode="edge")
+
+    outs = _walk(q_table, t_table, jnp.int32(L), temp, audio_logits,
+                 seed_id, steps_pad, alpha, threshold, rng)
+    sl = slice(0, num_steps)
     return SynthesisResult(
         seed_id=seed_id,
-        indices=np.asarray(outs["idx"]),
-        jumps=np.asarray(outs["jump"]),
-        entropies=np.asarray(outs["entropy"]),
-        nonzero_counts=np.asarray(outs["nonzero"]),
-        greedy_ids=np.asarray(outs["greedy"]),
-        pos_prob=np.asarray(outs["pos_prob"]),
+        indices=np.asarray(outs["idx"])[sl],
+        jumps=np.asarray(outs["jump"])[sl],
+        entropies=np.asarray(outs["entropy"])[sl],
+        nonzero_counts=np.asarray(outs["nonzero"])[sl],
+        greedy_ids=np.asarray(outs["greedy"])[sl],
+        pos_prob=np.asarray(outs["pos_prob"])[sl],
     )
 
 
