@@ -174,6 +174,64 @@ def synthesize_indices(q_table: jnp.ndarray, t_table: jnp.ndarray,
     )
 
 
+def synthesize_indices_host(q_table, t_table, num_steps: int,
+                            temp: float = 0.1, threshold: float = 0.0,
+                            alpha: float = 0.5, audio_logits=None,
+                            seed_id: int = 10,
+                            rng: Optional[np.random.Generator] = None
+                            ) -> SynthesisResult:
+    """Host-side walk with the exact same semantics as synthesize_indices.
+
+    The logit matrix is one device matmul; the per-step threshold/sample
+    math is O(L) numpy. This path has NO compile cost for new (L, steps)
+    shapes (the scan program is minutes to compile via remote-attached TPUs
+    and is not servable from the persistent cache) and uses
+    ``np.random.Generator.choice`` — the reference's own sampling primitive
+    (validate.py:570-571).
+    """
+    if rng is None:
+        rng = np.random.default_rng(0)
+    logits = np.asarray(
+        jax.jit(lambda a, b: (a @ b.T).astype(jnp.float32))(q_table, t_table)
+    ) / temp
+    audio = None if audio_logits is None else np.asarray(audio_logits)
+    L = logits.shape[0]
+    ids = np.arange(L)
+
+    q_id = int(seed_id)
+    idxs, jumps, ents, nnzs, greedy, pos_probs = [], [], [], [], [], []
+    for step_i in range(num_steps):
+        pos = min(q_id + 1, L - 1)
+        cand = (ids != q_id) | (pos == q_id)
+
+        def norm(row):
+            row = np.where(cand, row, 0.0)
+            return row / row.sum()
+
+        p = norm(logits[q_id])
+        if audio is not None:
+            p = alpha * p + (1.0 - alpha) * norm(audio[step_i])
+        p = np.where(cand, p, -np.inf)
+        mx = p.max()
+        p_thresh = np.where(cand & (p >= mx - threshold * mx), p, 0.0)
+        nz = np.flatnonzero(p_thresh)
+        p_renorm = p_thresh[nz] / p_thresh[nz].sum()
+        ents.append(float(abs(np.log(p_renorm).mean())))
+        nnzs.append(len(nz))
+        greedy.append(int(np.argmax(p)))
+        pos_probs.append(float(p[pos]))
+        nxt = int(rng.choice(nz))          # uniform over survivors
+        jumps.append(nxt != q_id + 1)
+        idxs.append(nxt)
+        q_id = nxt
+
+    return SynthesisResult(
+        seed_id=int(seed_id),
+        indices=np.asarray(idxs), jumps=np.asarray(jumps),
+        entropies=np.asarray(ents), nonzero_counts=np.asarray(nnzs),
+        greedy_ids=np.asarray(greedy), pos_prob=np.asarray(pos_probs))
+
+
 def driving_audio_logits(source_audio_feats: jnp.ndarray,
                          driving_audio_feats: jnp.ndarray,
                          temp: float = 0.1) -> jnp.ndarray:

@@ -26,7 +26,7 @@ from avtex.obs import Timer
 
 from .embeddings import vggish_audio_features
 from .engine import (driving_audio_logits, num_synthesis_steps, seed_segment,
-                     synthesize_indices)
+                     synthesize_indices, synthesize_indices_host)
 from .stitcher import stitch_texture
 
 
@@ -34,7 +34,8 @@ def synthesize(cfg: Config, video_path: str, params,
                audio_path: Optional[str] = None,
                driving_audio_path: Optional[str] = None,
                out_dir: Optional[str] = None,
-               mesh=None, interp_fn=None, logger=None) -> Dict:
+               mesh=None, interp_fn=None, logger=None,
+               walk_on_device: bool = False) -> Dict:
     """Synthesize one texture (reference: main.py:429-437 -> validate).
 
     Args:
@@ -173,11 +174,21 @@ def synthesize(cfg: Config, video_path: str, params,
         seed_id = min(seed_id, L - 1)
 
     # ---- the walk ------------------------------------------------------- #
+    # Host walk by default: same semantics, zero compile cost per new
+    # (L, steps) shape; pass walk_on_device=True for the fused lax.scan.
     with Timer() as t:
-        result = synthesize_indices(
-            q_table, t_table, steps, temp=cfg.temp, threshold=cfg.threshold,
-            alpha=cfg.alpha, audio_logits=audio_logits, seed_id=seed_id,
-            rng=jax.random.key(cfg.seed))
+        if walk_on_device:
+            result = synthesize_indices(
+                q_table, t_table, steps, temp=cfg.temp,
+                threshold=cfg.threshold, alpha=cfg.alpha,
+                audio_logits=audio_logits, seed_id=seed_id,
+                rng=jax.random.key(cfg.seed))
+        else:
+            result = synthesize_indices_host(
+                q_table, t_table, steps, temp=cfg.temp,
+                threshold=cfg.threshold, alpha=cfg.alpha,
+                audio_logits=audio_logits, seed_id=seed_id,
+                rng=np.random.default_rng(cfg.seed))
     timings["walk_s"] = t.elapsed
 
     # ---- stitch + outputs ----------------------------------------------- #

@@ -156,3 +156,18 @@ def test_slomo_interp_shapes():
     f1 = np.full((32, 48, 3), 255, np.uint8)
     mids = fn(f0, f1, 4)
     assert mids.shape == (4, 32, 48, 3)
+
+
+def test_host_walk_matches_device_greedy(tables):
+    """threshold=0 -> deterministic; host and device walks must agree."""
+    from avtex.synth.engine import synthesize_indices_host
+    q, t = tables
+    dev = synthesize_indices(q, t, num_steps=8, temp=0.1, threshold=0.0,
+                             seed_id=3, rng=jax.random.key(1))
+    host = synthesize_indices_host(q, t, num_steps=8, temp=0.1,
+                                   threshold=0.0, seed_id=3,
+                                   rng=np.random.default_rng(1))
+    np.testing.assert_array_equal(dev.indices, host.indices)
+    np.testing.assert_array_equal(dev.jumps, host.jumps)
+    np.testing.assert_array_equal(dev.nonzero_counts, host.nonzero_counts)
+    np.testing.assert_allclose(dev.entropies, host.entropies, atol=1e-4)
