@@ -240,6 +240,22 @@ def synthesize(cfg: Config, video_path: str, params,
             logger.log_scalar(int(result.nonzero_counts[i]),
                               "synth/nonzero", i)
         logger.log_scalar(int(result.jumps.sum()), "synth/jump_count", 0)
+        if cfg.visualize_evaluate:
+            # per-step probability-row figures (reference: validate.py:546-551)
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            probs = np.asarray(
+                (q_table @ t_table.T) / cfg.temp)
+            for i, q_id in enumerate([result.seed_id]
+                                     + list(result.indices[:-1])):
+                fig = plt.figure()
+                ax = fig.add_subplot(1, 1, 1)
+                im = ax.imshow(np.tile(probs[int(q_id)], (20, 1)),
+                               interpolation="nearest", aspect="auto")
+                fig.colorbar(im)
+                logger.log_figure(fig, "synth/probs_queryframe", i)
+                plt.close(fig)
 
     return {
         "result": result,
