@@ -15,7 +15,8 @@ Multi-host DCN is a mesh-shape change, not a code change (SURVEY.md §5.8).
 
 from .mesh import make_mesh, replicate, shard_leading
 from .sharded import (param_shardings, sharded_embed_segments,
-                      make_sharded_train_step)
+                      sharded_embed_from_video, make_sharded_train_step)
 
 __all__ = ["make_mesh", "replicate", "shard_leading", "param_shardings",
-           "sharded_embed_segments", "make_sharded_train_step"]
+           "sharded_embed_segments", "sharded_embed_from_video",
+           "make_sharded_train_step"]

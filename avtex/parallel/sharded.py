@@ -86,6 +86,51 @@ def sharded_embed_segments(model, params, mesh: Mesh,
     return table[:L]
 
 
+def sharded_embed_from_video(model, params, mesh: Mesh, video_u8,
+                             window: int, stride: int, num_segments: int,
+                             audio_examples: Optional[np.ndarray] = None,
+                             *, tower: str = "target", img_size: int = 224
+                             ) -> jnp.ndarray:
+    """Segment-sharded embed from a device-resident video buffer.
+
+    The video replicates once to every device; segment start indices shard
+    over 'data', so each device gathers and embeds L/n segments and XLA
+    all-gathers the [L, D] table. This is the bandwidth-optimal multi-chip
+    analogue of embeddings.embed_segments_from_video.
+    """
+    slowfast = model.arch == "slowfast"
+    n_data = mesh.shape["data"]
+    L = num_segments
+    pad = (-L) % n_data
+    starts = np.arange(L + pad, dtype=np.int32) * stride
+    starts[L:] = (L - 1) * stride
+    audio = None
+    with_audio = audio_examples is not None and model.model_type == 2
+    if with_audio:
+        ids = np.minimum(np.arange(L + pad), len(audio_examples) - 1)
+        audio = np.asarray(audio_examples)[ids]
+
+    seg = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(param_shardings(params, mesh), rep, seg,
+                      None if not with_audio else seg),
+        out_shardings=rep)
+    def run(p, video, st, aud):
+        idx = st[:, None] + jnp.arange(window)[None, :]
+        frames = video[idx]
+        x = preprocess_clip(frames, size=img_size, slowfast=slowfast)
+        if slowfast:
+            x = slowfast_pathways(x)
+        return model.apply(p, x, aud, tower=tower, method=model.embed)
+
+    table = run(params, jnp.asarray(video_u8), jnp.asarray(starts),
+                None if not with_audio else jnp.asarray(audio))
+    return table[:L]
+
+
 def make_sharded_train_step(model, tx, mesh: Mesh, size: int,
                             slowfast: bool) -> Callable:
     """DP+TP version of train.loop.make_train_step: batch sharded over

@@ -86,13 +86,12 @@ def synthesize(cfg: Config, video_path: str, params,
     # ---- embed once ---------------------------------------------------- #
     with Timer() as t:
         if mesh is not None:
-            from avtex.parallel import sharded_embed_segments
-            windows = gather_windows(video, W, S, "val")
-            q_table = sharded_embed_segments(
-                model, params, mesh, windows, audio_examples,
+            from avtex.parallel import sharded_embed_from_video
+            q_table = sharded_embed_from_video(
+                model, params, mesh, video, W, S, L, audio_examples,
                 tower="query", img_size=cfg.img_size)
-            t_table = sharded_embed_segments(
-                model, params, mesh, windows, audio_examples,
+            t_table = sharded_embed_from_video(
+                model, params, mesh, video, W, S, L, audio_examples,
                 tower="target", img_size=cfg.img_size)
         else:
             from .embeddings import precompute_embeddings_from_video

@@ -76,12 +76,34 @@ def main() -> None:
     # transfer at setup, like the reference's one .cuda() upload).
     video_dev = jnp.asarray(video)
 
+    # Multi-chip: shard the segment axis over all devices (ICI mesh). The
+    # single-chip path is the plain batched loop.
+    mesh = None
+    if (len(jax.devices()) > 1
+            and os.environ.get("AVTEX_BENCH_MESH", "1") == "1"):
+        from avtex.parallel import make_mesh
+        mesh = make_mesh()
+        print(f"[bench] mesh {dict(mesh.shape)}", file=sys.stderr, flush=True)
+
     table_time = [0.0]
+
+    def tables():
+        if mesh is not None:
+            from avtex.parallel import sharded_embed_from_video
+            q = sharded_embed_from_video(model, params, mesh, video_dev,
+                                         W, S, L, tower="query",
+                                         img_size=res)
+            t = sharded_embed_from_video(model, params, mesh, video_dev,
+                                         W, S, L, tower="target",
+                                         img_size=res)
+            return q, t
+        return precompute_embeddings_from_video(
+            model, params, video_dev, W, S, L, img_size=res,
+            batch_size=batch)
 
     def run():
         ts = time.perf_counter()
-        q, t = precompute_embeddings_from_video(
-            model, params, video_dev, W, S, L, img_size=res, batch_size=batch)
+        q, t = tables()
         jax.block_until_ready((q, t))
         table_time[0] = time.perf_counter() - ts
         if debug:

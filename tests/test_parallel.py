@@ -74,3 +74,23 @@ def test_sharded_train_step_runs(mesh, rng):
     step = make_sharded_train_step(model, tx, mesh, 16, slowfast=False)
     state2, metrics = step(state, batch, jax.random.key(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_embed_from_video_matches(mesh, rng):
+    import jax.numpy as jnp
+    from avtex.data.preprocess import preprocess_clip
+    from avtex.parallel import sharded_embed_from_video
+    from avtex.synth.embeddings import embed_segments_from_video
+
+    model = ContrastiveTextures(arch="resnet10", model_type=1)
+    video = (rng.random((30, 16, 16, 3)) * 255).astype(np.uint8)
+    W, S = 4, 2
+    L = (30 - W) // S
+    x = preprocess_clip(jnp.asarray(video[None, :W]), size=16)
+    params = jax.jit(model.init)(jax.random.key(0), x, x[:, None])
+    plain = np.asarray(embed_segments_from_video(
+        model, params, video, W, S, L, tower="target", img_size=16,
+        batch_size=4))
+    sharded = np.asarray(sharded_embed_from_video(
+        model, params, mesh, video, W, S, L, tower="target", img_size=16))
+    np.testing.assert_allclose(sharded, plain, atol=2e-2, rtol=2e-2)
