@@ -38,21 +38,15 @@ def resnet_features(frames: np.ndarray, module=None, params=None,
         params = jax.jit(module.init)(jax.random.key(0),
                              jnp.zeros((1, img_size, img_size, 3)))
 
+    from avtex.utils.batching import batched_apply
+
     @jax.jit
     def run(p, x):
         x = preprocess_clip(x[:, None], size=img_size)[:, 0]
         return module.apply(p, x)
 
-    out = []
-    n = len(frames)
-    for b0 in range(0, n, batch_size):
-        chunk = np.asarray(frames[b0:b0 + batch_size])
-        pad = batch_size - len(chunk)
-        if pad:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        feats = run(params, jnp.asarray(chunk))
-        out.append(feats[:batch_size - pad] if pad else feats)
-    return jnp.concatenate(out), True
+    return batched_apply(lambda x: run(params, x), np.asarray(frames),
+                         batch_size=batch_size), True
 
 
 def resnet_vggish_features(frames: np.ndarray,

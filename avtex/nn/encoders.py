@@ -13,11 +13,12 @@ input_kind is "clip" ([B, T, H, W, 3] windows) or "slowfast" (a
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Tuple
 
 import jax.numpy as jnp
 
-from . import densenet3d, resnet3d, resnext3d, slowfast
+from . import densenet3d, resnet2d, resnet3d, resnext3d, slowfast
 
 # arch -> (factory, feat_dim_fn, input_kind)
 ENCODER_REGISTRY: Dict[str, Tuple[Callable[..., Any], Callable[[Any], int], str]] = {}
@@ -35,6 +36,10 @@ _register("resnext50", resnext3d.resnext3d50)
 _register("resnext101", resnext3d.resnext3d101)
 _register("resnext152", resnext3d.resnext3d152)
 _register("densenet121", densenet3d.densenet3d121)
+_register("resnet18_2d", functools.partial(resnet2d.FrameMean2D,
+                                           layers=(2, 2, 2, 2)))
+_register("resnet34_2d", functools.partial(resnet2d.FrameMean2D,
+                                           layers=(3, 4, 6, 3)))
 _register("densenet169", densenet3d.densenet3d169)
 _register("slowfast", slowfast.SlowFastR50, kind="slowfast")
 

@@ -69,3 +69,27 @@ class ResNet2D(nn.Module):
 
 resnet2d18 = functools.partial(ResNet2D, layers=(2, 2, 2, 2))
 resnet2d34 = functools.partial(ResNet2D, layers=(3, 4, 6, 3))
+
+
+class FrameMean2D(nn.Module):
+    """Clip encoder from a 2D backbone: per-frame features, temporal mean.
+
+    The reference's legacy 2D contrastive path wraps torchvision ResNets the
+    same way (reference: models/models.py:470-505 ModelBuilder + adaptive
+    pooling). Registered as ``resnet18_2d`` / ``resnet34_2d``.
+    """
+
+    layers: Sequence[int] = (2, 2, 2, 2)
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def feat_dim(self) -> int:
+        return ResNet2D(layers=self.layers).feat_dim
+
+    @nn.compact
+    def __call__(self, x):
+        # [B, T, H, W, 3] -> fold T into batch for the 2D net
+        b, t = x.shape[:2]
+        flat = x.reshape((-1,) + x.shape[2:])
+        feats = ResNet2D(layers=self.layers, dtype=self.dtype)(flat)
+        return feats.reshape(b, t, -1).mean(axis=1)

@@ -149,30 +149,17 @@ def embed_segments(model: ContrastiveTextures, params,
     Returns:
       [L, D] embedding table (L2-normalized by the embedder).
     """
+    from avtex.utils.batching import batched_apply
     slowfast = model.arch == "slowfast"
     run = _embed_batch_fn(model, img_size, slowfast, tower)
     L = len(windows_u8)
-    audio = None
     if audio_examples is not None and model.model_type == 2:
         ids = np.minimum(np.arange(L), len(audio_examples) - 1)
         audio = np.asarray(audio_examples)[ids]
-
-    out = []
-    for b0 in range(0, L, batch_size):
-        chunk = windows_u8[b0:b0 + batch_size]
-        pad = batch_size - len(chunk)
-        if pad:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        a_chunk = None
-        if audio is not None:
-            a_chunk = audio[b0:b0 + batch_size]
-            if pad:
-                a_chunk = np.concatenate([a_chunk,
-                                          np.repeat(a_chunk[-1:], pad, 0)])
-            a_chunk = jnp.asarray(a_chunk)
-        emb = run(params, jnp.asarray(chunk), a_chunk)
-        out.append(emb[:batch_size - pad] if pad else emb)
-    return jnp.concatenate(out, axis=0)
+        return batched_apply(lambda f, a: run(params, f, a),
+                             windows_u8, audio, batch_size=batch_size)
+    return batched_apply(lambda f: run(params, f, None),
+                         windows_u8, batch_size=batch_size)
 
 
 def precompute_embeddings(model: ContrastiveTextures, params,
@@ -217,17 +204,11 @@ def vggish_audio_features(vggish_module, vggish_params,
     Used for the driving-audio "VGG" scoring branch
     (reference: validate.py:260-296, models.py:424-439).
     """
+    from avtex.utils.batching import batched_apply
+
     @jax.jit
     def run(p, x):
         return vggish_module.apply(p, x)
 
-    out = []
-    n = len(examples)
-    for b0 in range(0, n, batch_size):
-        chunk = np.asarray(examples[b0:b0 + batch_size])
-        pad = batch_size - len(chunk)
-        if pad:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-        feats = run(vggish_params, jnp.asarray(chunk))
-        out.append(feats[:batch_size - pad] if pad else feats)
-    return jnp.concatenate(out, axis=0)
+    return batched_apply(lambda x: run(vggish_params, x), np.asarray(examples),
+                         batch_size=batch_size)

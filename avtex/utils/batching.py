@@ -54,6 +54,28 @@ def split_into_overlapping_segments(x: np.ndarray, max_segments: int,
     return out, n
 
 
+def batched_apply(fn, *arrays: np.ndarray, batch_size: int):
+    """Run a fixed-batch jitted fn over the leading axis of host arrays.
+
+    Pads the tail batch by repeating the last row (keeps one compiled
+    shape), trims the padding from the result. All arrays share the
+    leading dim; returns the concatenated device output.
+    """
+    import jax.numpy as jnp
+
+    n = len(arrays[0])
+    out = []
+    for b0 in range(0, n, batch_size):
+        chunks = [np.asarray(a[b0:b0 + batch_size]) for a in arrays]
+        pad = batch_size - len(chunks[0])
+        if pad:
+            chunks = [np.concatenate([c, np.repeat(c[-1:], pad, 0)])
+                      for c in chunks]
+        res = fn(*[jnp.asarray(c) for c in chunks])
+        out.append(res[:batch_size - pad] if pad else res)
+    return jnp.concatenate(out, axis=0)
+
+
 def combine_batches(x: np.ndarray, num_valid: int) -> np.ndarray:
     """[G, N/G, ...] -> [1, num_valid, ...] (inverse of split_into_batches)."""
     g, per = x.shape[:2]
