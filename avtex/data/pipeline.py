@@ -45,15 +45,15 @@ class SegmentBatches:
         # Windows view covers ids [0, n_train] (the last id appears only as
         # positive/negative, matching reference __len__ semantics).
         self.n_train = num_segments(len(frames), window, stride, "train")
+        if self.n_train < 1:
+            raise ValueError(
+                f"video too short: {len(frames)} frames for window {window} "
+                f"stride {stride}")
         self.windows = gather_windows(frames, window, stride, "val")
         self.audio = audio_examples
         self.max_audio_id = (len(audio_examples) - 1
                              if audio_examples is not None else 0)
         self.drop_last = drop_last
-        if self.n_train < 1:
-            raise ValueError(
-                f"video too short: {len(frames)} frames for window {window} "
-                f"stride {stride}")
 
     def __len__(self) -> int:
         if self.drop_last:

@@ -79,3 +79,26 @@ def test_contrastive_cli_train_and_eval(tiny_clip, tmp_path):
           "-results_folder", str(tmp_path / "res"),
           "-logdir", str(tmp_path / "logs")])
     assert os.listdir(tmp_path / "res")
+
+
+@pytest.mark.slow
+def test_synthesize_contrastive_da_branch(tiny_clip, tmp_path):
+    """-daf Contrastive: VideoForAudio retrieval head scores the driving
+    audio against precomputed video-side embeddings."""
+    from avtex.synth.pipeline import synthesize
+    cfg = Config(enc_arch="resnet10", model_type=1, img_size=32,
+                 new_video_length=2, threshold=0.5, alpha=0.5,
+                 da_feats="Contrastive", interpolation=False, seed=0,
+                 mini_batchsize=8)
+    out = synthesize(cfg, tiny_clip["video"], params=None,
+                     audio_path=tiny_clip["audio"],
+                     driving_audio_path=tiny_clip["audio"],
+                     out_dir=str(tmp_path))
+    assert len(out["result"].indices) >= 1
+    assert out["paths"]
+
+
+def test_too_short_video_raises():
+    from avtex.data.pipeline import SegmentBatches
+    with pytest.raises(ValueError, match="too short"):
+        SegmentBatches(np.zeros((5, 8, 8, 3), np.uint8), window=6, stride=2)
