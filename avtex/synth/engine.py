@@ -174,6 +174,13 @@ def synthesize_indices(q_table: jnp.ndarray, t_table: jnp.ndarray,
     )
 
 
+@jax.jit
+def _logit_matrix(q_table, t_table):
+    return jax.lax.dot_general(
+        q_table, t_table, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def synthesize_indices_host(q_table, t_table, num_steps: int,
                             temp: float = 0.1, threshold: float = 0.0,
                             alpha: float = 0.5, audio_logits=None,
@@ -191,9 +198,7 @@ def synthesize_indices_host(q_table, t_table, num_steps: int,
     """
     if rng is None:
         rng = np.random.default_rng(0)
-    logits = np.asarray(
-        jax.jit(lambda a, b: (a @ b.T).astype(jnp.float32))(q_table, t_table)
-    ) / temp
+    logits = np.asarray(_logit_matrix(q_table, t_table)) / temp
     audio = None if audio_logits is None else np.asarray(audio_logits)
     L = logits.shape[0]
     ids = np.arange(L)
