@@ -21,3 +21,34 @@ def test_pairwise_pallas_normalized(rng):
     ref = np.asarray(pairwise_l2(x, normalize=True))
     out = np.asarray(pairwise_l2_pallas(x, normalize=True, interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_s2d_stem_exact_equivalence(rng):
+    """s2d stem must reproduce the plain stride-(1,2,2) SAME conv exactly."""
+    import jax
+    import jax.numpy as jnp
+    from avtex.ops.s2d_stem import fast_stem_s2d
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 16, 20, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((5, 7, 7, 3, 8)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 2, 2), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    out = fast_stem_s2d(x, k)
+    assert out.shape == ref.shape
+    # fp32 reassociation noise only (different contraction order)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_stem_224(rng):
+    import jax
+    import jax.numpy as jnp
+    from avtex.ops.s2d_stem import fast_stem_s2d
+    x = jnp.asarray(rng.standard_normal((1, 5, 224, 224, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((5, 7, 7, 3, 8)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 2, 2), "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    out = fast_stem_s2d(x, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
