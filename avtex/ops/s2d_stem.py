@@ -24,7 +24,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def s2d_stem_kernel(k: jnp.ndarray) -> jnp.ndarray:
