@@ -67,11 +67,18 @@ class SFBottleneck(nn.Module):
 
 
 class SlowFastR50(nn.Module):
-    """Two-pathway encoder; __call__(slow, fast) -> [B, 2304]."""
+    """Two-pathway encoder; __call__(slow, fast) -> [B, 2304].
+
+    ``s2d_stem``: run the fast-pathway stem via the space-to-depth
+    re-expression (avtex/ops/s2d_stem.py — exact same arithmetic, 4x the
+    MXU output lanes). Weight shapes are identical either way, so the flag
+    can be flipped on trained checkpoints.
+    """
 
     layers: Sequence[int] = (3, 4, 6, 3)
     width: int = 64
     dtype: Any = jnp.bfloat16
+    s2d_stem: bool = False
 
     @property
     def feat_dim(self) -> int:
@@ -95,8 +102,20 @@ class SlowFastR50(nn.Module):
         slow = nn.Conv(w, (1, 7, 7), (1, 2, 2), padding="SAME",
                        use_bias=False, dtype=self.dtype)(slow)
         slow = nn.relu(_norm(w, self.dtype)(slow))
-        fast = nn.Conv(wf, (5, 7, 7), (1, 2, 2), padding="SAME",
-                       use_bias=False, dtype=self.dtype)(fast)
+        # One param serves both stem implementations, so the s2d flag can
+        # flip on any checkpoint.
+        k_fast = self.param(
+            "fast_stem_kernel", nn.initializers.lecun_normal(),
+            (5, 7, 7, fast.shape[-1], wf), jnp.float32).astype(self.dtype)
+        if self.s2d_stem and fast.shape[2] % 4 == 0 and fast.shape[3] % 4 == 0:
+            from avtex.ops.s2d_stem import fast_stem_s2d
+            fast = fast_stem_s2d(fast, k_fast)
+        else:
+            import jax
+            fast = jax.lax.conv_general_dilated(
+                fast, k_fast, (1, 2, 2), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=self.dtype)
         fast = nn.relu(_norm(wf, self.dtype)(fast))
         slow = nn.max_pool(slow, (1, 3, 3), (1, 2, 2), padding="SAME")
         fast = nn.max_pool(fast, (1, 3, 3), (1, 2, 2), padding="SAME")

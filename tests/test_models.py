@@ -87,3 +87,20 @@ def test_contrastive_audio_model():
     # embedding tables via embed()
     emb = m.apply(params, t[0], ta[0], tower="target", method=m.embed)
     assert emb.shape[0] == 3
+
+
+@pytest.mark.slow
+def test_slowfast_s2d_stem_equivalence():
+    """The s2d_stem flag must not change the network's output."""
+    import jax
+    m_plain = build_encoder("slowfast")[0]
+    from avtex.nn.slowfast import SlowFastR50
+    m_s2d = SlowFastR50(dtype=jnp.float32, s2d_stem=True)
+    m_plain = SlowFastR50(dtype=jnp.float32, s2d_stem=False)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.random((1, 10, 16, 16, 3)), jnp.float32)
+    slow, fast = slowfast_pathways(frames)
+    params = jax.jit(m_plain.init)(jax.random.key(0), slow, fast)
+    a = np.asarray(m_plain.apply(params, slow, fast))
+    b = np.asarray(m_s2d.apply(params, slow, fast))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
