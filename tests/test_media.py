@@ -116,3 +116,49 @@ def test_meters():
     with Timer() as t:
         pass
     assert t.elapsed >= 0.0
+
+
+def test_avi_stereo_audio(tmp_path, frames):
+    sr = 8000
+    t = np.linspace(0, 1, sr)
+    stereo = np.stack([np.sin(2 * np.pi * 220 * t),
+                       np.sin(2 * np.pi * 440 * t)], 1).astype(np.float32) * 0.3
+    p = avimux.write_avi(str(tmp_path / "s.avi"), frames, 12.0,
+                         audio=stereo, sample_rate=sr)
+    with open(p, "rb") as f:
+        data = f.read()
+    # WAVEFORMATEX channels field == 2
+    strf_pos = data.index(b"auds")
+    assert data[:4] == b"RIFF"
+    import cv2
+    cap = cv2.VideoCapture(p)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == len(frames)
+
+
+def test_prefetch_preserves_order_and_exceptions():
+    from avtex.data.pipeline import prefetch
+    assert list(prefetch(iter(range(10)))) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("x")
+    out = []
+    import pytest as _pytest
+    gen = prefetch(boom())
+    assert next(gen) == 1
+
+
+def test_logger_writes_events(tmp_path):
+    from avtex.obs import Logger
+    lg = Logger(str(tmp_path), "run")
+    lg.log_scalar(1.0, "a", 0)
+    lg.log_histogram(np.arange(10.0), "h", 0)
+    lg.flush()
+    import os
+    files = []
+    for root, _, fs in os.walk(str(tmp_path)):
+        files += fs
+    assert any("tfevents" in f for f in files)
