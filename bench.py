@@ -155,8 +155,11 @@ def main() -> None:
             "resolution": res,
             "devices": [str(d) for d in jax.devices()],
             "jumps": int(result.jumps.sum()),
-            # BASELINE.json primary throughput metric
-            "clips_per_sec_per_chip": round(2 * L / table_time[0], 1),
+            # BASELINE.json primary throughput metric (per chip: divide by
+            # the mesh size when the multi-chip path ran)
+            "clips_per_sec_per_chip": round(
+                2 * L / table_time[0] / (len(jax.devices())
+                                         if mesh is not None else 1), 1),
             "embed_tables_s": round(table_time[0], 3),
             "runs_s": [round(x, 3) for x in times],
         },
