@@ -53,6 +53,20 @@ class Logger:
         with self._writer.as_default():
             self._tf.summary.image(tag, img[None], step=step)
 
+    def log_video(self, frames: np.ndarray, tag: str, step: int,
+                  max_frames: int = 8) -> None:
+        """Log a clip as a horizontal frame strip (tf.summary has no native
+        video; the reference used tensorboardX add_video —
+        utils/logger.py:36-44)."""
+        if self._writer is None:
+            return
+        f = np.asarray(frames)
+        if f.ndim != 4 or len(f) == 0:
+            return
+        idx = np.linspace(0, len(f) - 1, min(max_frames, len(f))).astype(int)
+        strip = np.concatenate([f[i] for i in idx], axis=1)
+        self.log_image(strip, tag, step)
+
     def log_histogram(self, values: np.ndarray, tag: str, step: int,
                       bins: Optional[int] = None) -> None:
         if self._writer is None:

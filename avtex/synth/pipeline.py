@@ -240,6 +240,16 @@ def synthesize(cfg: Config, video_path: str, params,
                               "synth/nonzero", i)
         logger.log_scalar(int(result.jumps.sum()), "synth/jump_count", 0)
         if cfg.visualize_evaluate:
+            # query/choice frame strips at jumps (reference: validate.py:649-671)
+            prev = result.seed_id
+            for i, q_id in enumerate(result.indices):
+                if bool(result.jumps[i]) and i > 0:
+                    logger.log_video(video[prev * S:prev * S + W],
+                                     "synth/jump_query", i)
+                    logger.log_video(video[int(q_id) * S:int(q_id) * S + W],
+                                     "synth/jump_choice", i)
+                prev = int(q_id)
+
             # per-step probability-row figures (reference: validate.py:546-551)
             import matplotlib
             matplotlib.use("Agg")

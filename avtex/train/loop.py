@@ -159,6 +159,11 @@ def train_video(cfg: Config, frames: np.ndarray,
                 logger.log_scalar(loss, "train/iter_loss", global_step)
                 logger.log_scalar(float(metrics["acc"]), "train/iter_acc",
                                   global_step)
+                # query/positive frame strips (reference: train.py:166-200)
+                logger.log_video(batch["q_frames"][0], "train/query",
+                                 global_step)
+                logger.log_video(batch["t_frames"][0, 0], "train/positive",
+                                 global_step)
             global_step += 1
         history.append(meter.avg)
         best = min(best, meter.avg)

@@ -162,3 +162,13 @@ def test_logger_writes_events(tmp_path):
     for root, _, fs in os.walk(str(tmp_path)):
         files += fs
     assert any("tfevents" in f for f in files)
+
+
+def test_logger_log_video(tmp_path, frames):
+    from avtex.obs import Logger
+    lg = Logger(str(tmp_path), "v")
+    lg.log_video(frames, "clip", 0)
+    lg.flush()
+    import os
+    found = [f for _, _, fs in os.walk(str(tmp_path)) for f in fs]
+    assert any("tfevents" in f for f in found)
