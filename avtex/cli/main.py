@@ -57,12 +57,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-lr_steps", type=int, default=30)
     p.add_argument("-momentum", type=float, default=0.9)
     p.add_argument("-wd", "--weight_decay", type=float, default=1e-4)
-    p.add_argument("-workers", type=int, default=0)
+    p.add_argument("-workers", "-j", type=int, default=0)
     p.add_argument("-seed", type=int, default=0)
-    p.add_argument("-resume", default="")
+    p.add_argument("-resume", "--resume", default="")
+    p.add_argument("-daf_resume", "--daf_resume", nargs="+", default=None,
+                   help="VideoForAudio checkpoint(s) for -daf Contrastive")
+    p.add_argument("-fps", type=float, default=None,
+                   help="override container fps (normally auto-derived)")
+    p.add_argument("-l2", action="store_true",
+                   help="accepted for parity (embeddings are always "
+                        "L2-normalized, like the reference's live path)")
+    p.add_argument("-long", "--long", action="store_true",
+                   help="accepted for parity; unused in the reference too")
+    p.add_argument("-pdata", default=None,
+                   help="accepted for parity; poses unused in the reference")
+    p.add_argument("-fdata", default=None,
+                   help="accepted for parity; flow unused in the reference")
+    p.add_argument("-p", "--print_freq", type=int, default=5)
+    p.add_argument("-lf", "--log_freq", type=int, default=10)
+    p.add_argument("-vf", "--val_freq", type=int, default=5)
+    p.add_argument("--start_epoch", type=int, default=None)
     p.add_argument("-logdir", default="./logs")
     p.add_argument("-logname", default="exp")
-    p.add_argument("-results_folder", default="results")
+    p.add_argument("-rf", "--results_folder", default="results")
     p.add_argument("-ckpt", default="./ckpt")
     p.add_argument("--mesh", action="store_true",
                    help="shard embed/training over all local devices")
@@ -86,6 +103,9 @@ def args_to_config(args: argparse.Namespace):
         batch_size=args.batch_size, mini_batchsize=args.mini_batchsize,
         lr=args.lr, lr_steps=args.lr_steps, momentum=args.momentum,
         weight_decay=args.weight_decay, workers=args.workers,
+        daf_resume=args.daf_resume, print_freq=args.print_freq,
+        log_freq=args.log_freq, val_freq=args.val_freq,
+        start_epoch=args.start_epoch,
         resume=args.resume, evaluate=args.evaluate,
         visualize_evaluate=args.visualize_evaluate, logdir=args.logdir,
         logname=args.logname, results_folder=args.results_folder,
