@@ -79,7 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--start_epoch", type=int, default=None)
     p.add_argument("-logdir", default="./logs")
     p.add_argument("-logname", default="exp")
-    p.add_argument("-rf", "--results_folder", default="results")
+    p.add_argument("-rf", "-results_folder", "--results_folder",
+                   default="results")
     p.add_argument("-ckpt", default="./ckpt")
     p.add_argument("--mesh", action="store_true",
                    help="shard embed/training over all local devices")
