@@ -24,6 +24,7 @@ from .d1 import compute_d1
 from .d2 import compute_d2
 from .features import resnet_features, resnet_vggish_features, rgb_features
 from .future_cost import compute_d3
+from .interp_track import burn_position_bars, classic_interp_track
 from .sampler import expand_walk_to_frames, sample_texture_walk
 
 
@@ -31,8 +32,15 @@ def run_classic(cfg: ClassicConfig, video_path: str,
                 audio_path: Optional[str] = None,
                 out_dir: Optional[str] = None,
                 logger: Optional[Logger] = None,
-                num_steps: Optional[int] = None) -> Dict:
+                num_steps: Optional[int] = None,
+                interp_fn=None) -> Dict:
     """Run the full classic pipeline on one video.
+
+    Args:
+      interp_fn: (frame0, frame1, n_mid) -> mids for the jump-interpolation
+        track (mode 1 only); defaults to the native crossfade — the
+        reference loads SuperSloMo.ckpt (video_textures.py:258-261), which
+        is not shipped with its repo either.
 
     Returns {"sigma_results": {sigma: {...}}, "jump_counts": {...}}.
     """
@@ -77,15 +85,29 @@ def run_classic(cfg: ClassicConfig, video_path: str,
             walk, cfg.model_type, cfg.stride, cfg.filter_size, len(frames))
         frame_ids = np.clip(frame_ids, 0, len(frames) - 1)
 
-        tex_frames = frames[frame_ids]
+        # main track: red position bar burned into every frame, always
+        # (reference: video_textures.py:216-221 — unconditional there)
+        tex_frames = burn_position_bars(frames[frame_ids], frame_ids,
+                                        len(frames))
         tex_audio = None
         if audio is not None:
             apf = int(sr / fps)
             tex_audio = np.concatenate(
                 [audio[f * apf:(f + 1) * apf] for f in frame_ids])
+        frames_intp = None
+        if cfg.interpolation and cfg.model_type == 1:
+            # jump-interpolated track at fps*(SF+1)/2
+            # (reference: video_textures.py:52-129)
+            fn = interp_fn
+            if fn is None:
+                from avtex.native import stitch as native_stitch
+                fn = native_stitch.crossfade
+            frames_intp = classic_interp_track(frames, walk, cfg.SF, fn,
+                                               len(frames))
         paths = save_texture_outputs(
             out_dir, f"{name}_classic_m{cfg.model_type}_sigma{sigma_factor}",
-            tex_frames, fps, audio=tex_audio, sample_rate=sr)
+            tex_frames, fps, audio=tex_audio, sample_rate=sr,
+            frames_intp=frames_intp, sf=cfg.SF)
 
         jump_count = int(np.asarray(jumps).sum())
         results["sigma_results"][sigma_factor] = {

@@ -43,8 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-train_stride", type=int, default=None)
     p.add_argument("-temp", type=float, default=0.1)
     p.add_argument("-th", "--threshold", type=float, default=0.0)
-    p.add_argument("-bs", "--batch_size", type=int, default=8)
-    p.add_argument("-mbs", "--mini_batchsize", type=int, default=32)
+    p.add_argument("-bs", "--batch_size", type=int, default=32)
+    p.add_argument("-mbs", "--mini_batchsize", type=int, default=150)
     p.add_argument("-negs", "--n_negs", type=int, default=20)
     p.add_argument("-size", "--img_size", type=int, default=224)
     p.add_argument("-subsample", "--subsample_rate", type=int, default=1)
@@ -95,8 +95,8 @@ def args_to_config(args: argparse.Namespace):
         vdata=args.vdata, adata=args.adata, dadata=args.dadata,
         video_list=args.video_list, subsample_rate=args.subsample_rate,
         window=args.window, stride=args.stride,
-        train_stride=(args.train_stride if args.train_stride is not None
-                      else args.stride),
+        train_stride=args.train_stride,  # None => fps-derived stride
+        fps_override=args.fps,
         n_negs=args.n_negs, new_video_length=args.new_video_length,
         alpha=args.alpha, interpolation=args.interpolation, SF=args.SF,
         frames_bar=args.frames_bar, driving_audio=args.driving_audio,
@@ -125,7 +125,7 @@ def run_one_video(cfg, video_name: str, mesh=None) -> None:
                   if cfg.adata else None)
 
     if not cfg.evaluate:
-        from avtex.train import save_checkpoint, train_video
+        from avtex.train import train_video
         frames, fps = read_video(video_path, cfg.subsample_rate)
         cfg = cfg.derive_geometry(fps)
         audio_examples = None
@@ -136,12 +136,15 @@ def run_one_video(cfg, video_name: str, mesh=None) -> None:
             wav, sr = read_wav(audio_path)
             audio_examples = np.asarray(waveform_to_examples(wav, sr))
         logger = Logger(cfg.logdir, cfg.train_logname(video_name))
+        # Saves _latest every epoch / _best on improvement inside the loop
+        # and resumes params+opt-state+best_loss (reference: main.py:356-370,
+        # 461-483).
         state, history = train_video(cfg, frames, audio_examples,
-                                     logger=logger)
+                                     logger=logger,
+                                     resume=cfg.resume or None,
+                                     ckpt_dir=cfg.ckpt,
+                                     ckpt_name=cfg.train_logname(video_name))
         best = min(history) if history else float("inf")
-        save_checkpoint(cfg.ckpt, cfg.train_logname(video_name),
-                        state.params, len(history), cfg.enc_arch, best,
-                        is_best=True)
         print(f"[avtex] trained {video_name}: {len(history)} epochs, "
               f"best loss {best:.4f}")
         return

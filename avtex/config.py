@@ -36,11 +36,15 @@ class Config:
     adata: Optional[str] = None         # -adata: audio dataset dir of <name>.wav
     dadata: str = "audio/target"        # -dadata: driving-audio dir
     video_list: Optional[List[str]] = None  # -vl
-    fps: float = 30.0                   # -fps (overwritten from container metadata at eval)
+    fps: float = 30.0                   # (overwritten from container metadata at eval)
+    fps_override: Optional[float] = None  # -fps: user override of container fps
     subsample_rate: int = 1             # -subsample
     window: int = 20                    # -w  (auto-derived: ceil(fps/2))
     stride: int = 4                     # -stride (auto-derived: ceil(fps/5))
-    train_stride: int = 4               # -train_stride
+    train_stride: Optional[int] = None  # -train_stride (None => derived stride;
+                                        # the reference's dataset always uses the
+                                        # fps-derived stride for training too,
+                                        # dataset/dataset.py:79-80)
     n_negs: int = 20                    # -negs: negatives per query at train time
 
     # --- synthesis ------------------------------------------------------- #
@@ -67,7 +71,7 @@ class Config:
     momentum: float = 0.9
     weight_decay: float = 1e-4
     early_stop_loss: float = 0.07       # reference: main.py:475
-    workers: int = 0                    # host-side prefetch threads
+    workers: int = 0                    # -j: prefetch queue depth (min 2 used)
 
     # --- bookkeeping ------------------------------------------------------ #
     print_freq: int = 5
@@ -92,13 +96,21 @@ class Config:
         """Apply the reference's fps -> (window, stride) rule.
 
         The reference silently overwrites -w/-stride from video fps
-        (reference: dataset/dataset.py:79-80). Returns a new Config.
+        (reference: dataset/dataset.py:79-80), and uses the same derived
+        stride for training segmentation (its -train_stride flag is dead);
+        an explicit -fps flag overrides the container fps (main.py:76).
+        Returns a new Config.
         """
+        if self.fps_override is not None:
+            fps = self.fps_override
+        stride = math.ceil(fps / 5)
         return dataclasses.replace(
             self,
             fps=fps,
             window=math.ceil(fps / 2),
-            stride=math.ceil(fps / 5),
+            stride=stride,
+            train_stride=(self.train_stride if self.train_stride is not None
+                          else stride),
         )
 
     def train_logname(self, video_name: str) -> str:

@@ -6,4 +6,4 @@ from .segments import (
     hard_negative_ids,
     target_ordering,
 )
-from .infonce import info_nce_loss
+from .infonce import info_nce_from_logits, info_nce_loss

@@ -33,8 +33,13 @@ def cosine_logits(q: jnp.ndarray, t: jnp.ndarray, temp: float) -> jnp.ndarray:
     return logits / temp
 
 
-def info_nce_loss(q: jnp.ndarray, t: jnp.ndarray, temp: float) -> jnp.ndarray:
-    """Mean InfoNCE loss with the positive at column 0."""
-    logits = cosine_logits(q, t, temp)
+def info_nce_from_logits(logits: jnp.ndarray) -> jnp.ndarray:
+    """Mean InfoNCE loss on precomputed [B, N] logits, positive at column 0
+    (CrossEntropy against all-zero labels, reference: train.py:129-132)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     return -jnp.mean(logp[:, 0])
+
+
+def info_nce_loss(q: jnp.ndarray, t: jnp.ndarray, temp: float) -> jnp.ndarray:
+    """Mean InfoNCE loss with the positive at column 0."""
+    return info_nce_from_logits(cosine_logits(q, t, temp))

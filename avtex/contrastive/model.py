@@ -5,13 +5,18 @@ Re-expression of the reference's ``ContrastivePredictionTemporal``
 
 - ``SegmentEmbedder``: window frames (+ optional audio example) -> one
   L2-normalized embedding. Video features are the encoder's raw pooled
-  features; audio goes through the 4096-4096-128 ReLU MLP; the two are
-  concatenated *then* normalized — exactly the reference's order
-  (models.py:335-351).
+  features; audio features are the raw flattened VGGish conv features —
+  the reference defines 4096-4096-128 MLPs (``q_a_mlp``/``t_a_mlp``,
+  models.py:267-284) but its forward never applies them: it concatenates
+  the raw VGGish features directly, *then* normalizes (models.py:335-351,
+  411-417). We reproduce that behavior (and ship the MLP as ``AudioMLP``
+  for VideoForAudio, which does use one).
 - ``ContrastiveTextures``: a query embedder and a target embedder with
-  separate parameters (the reference builds two encoder copies,
-  main.py:328-334). ``train_logits`` computes the [B, 1+negs] InfoNCE
-  logit rows; embedding tables for synthesis come from ``embed``.
+  separate video-encoder parameters (the reference builds two encoder
+  copies, main.py:328-334) but ONE audio encoder shared across both towers
+  (models.py:265,276: ``q_a_encoder`` and ``t_a_encoder`` are the same
+  instance). ``train_logits`` computes the [B, 1+negs] InfoNCE logit rows;
+  embedding tables for synthesis come from ``embed``.
 
 The reference's inference-time chunk re-slicing (models.py:354-383) does not
 exist here: synthesis precomputes both embedding tables once and scores with
@@ -46,11 +51,15 @@ class AudioMLP(nn.Module):
 
 
 class SegmentEmbedder(nn.Module):
-    """One segment (frames + optional audio) -> one normalized embedding."""
+    """One segment (frames + optional audio) -> one normalized embedding.
+
+    ``audio_encoder`` is injected by the parent so both towers share one
+    instance (reference: models.py:265,276 assign the same
+    ``audio_enc_model`` to ``q_a_encoder`` and ``t_a_encoder``)."""
 
     arch: str = "resnet18"
     model_type: int = 1           # 1: video only; 2: video + audio
-    audio_emb_dim: int = 128
+    audio_encoder: Optional[nn.Module] = None
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -58,15 +67,8 @@ class SegmentEmbedder(nn.Module):
         self.video_encoder = module
         self.input_kind = kind
         self.video_feat_dim = feat_dim
-        if self.model_type == 2:
-            from avtex.nn.vggish import VGGish
-            self.audio_encoder = VGGish(dtype=self.dtype)
-            self.audio_mlp = AudioMLP(self.audio_emb_dim, dtype=self.dtype)
-
-    @property
-    def emb_dim(self) -> int:
-        return self.video_feat_dim + (self.audio_emb_dim
-                                      if self.model_type == 2 else 0)
+        if self.model_type == 2 and self.audio_encoder is None:
+            raise ValueError("model_type=2 requires an audio_encoder")
 
     def __call__(self, frames, audio_example: Optional[jnp.ndarray] = None
                  ) -> jnp.ndarray:
@@ -80,7 +82,9 @@ class SegmentEmbedder(nn.Module):
         if self.model_type == 2:
             if audio_example is None:
                 raise ValueError("model_type=2 requires audio examples")
-            a = self.audio_mlp(self.audio_encoder(audio_example))
+            # Raw flattened VGGish conv features, no MLP — the reference's
+            # forward concatenates q_a/t_a directly (models.py:341-351).
+            a = self.audio_encoder(audio_example)
             v = jnp.concatenate([v, a], axis=-1)
         return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
 
@@ -94,9 +98,18 @@ class ContrastiveTextures(nn.Module):
     dtype: Any = jnp.bfloat16
 
     def setup(self):
+        audio_enc = None
+        if self.model_type == 2:
+            from avtex.nn.vggish import VGGish
+            # One shared VGGish for both towers (models.py:265,276); params
+            # live under this module's 'audio_encoder' scope.
+            self.audio_encoder = VGGish(dtype=self.dtype)
+            audio_enc = self.audio_encoder
         self.q_embedder = SegmentEmbedder(self.arch, self.model_type,
+                                          audio_encoder=audio_enc,
                                           dtype=self.dtype)
         self.t_embedder = SegmentEmbedder(self.arch, self.model_type,
+                                          audio_encoder=audio_enc,
                                           dtype=self.dtype)
 
     def _flatten_targets(self, t_frames):

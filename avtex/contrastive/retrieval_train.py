@@ -13,6 +13,8 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from avtex.contrastive.infonce import info_nce_from_logits
 import numpy as np
 import optax
 
@@ -49,7 +51,7 @@ def train_video_for_audio(frames: np.ndarray, audio_examples: np.ndarray,
         def loss_fn(p):
             x = preprocess_clip(v_batch, size=img_size)
             logits = model.apply(p, a_batch, x)
-            return -jnp.mean(jax.nn.log_softmax(logits, axis=-1)[:, 0])
+            return info_nce_from_logits(logits)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss

@@ -41,6 +41,7 @@ class SegmentBatches:
         self.stride = stride
         self.n_negs = n_negs
         self.batch_size = batch_size
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         # Windows view covers ids [0, n_train] (the last id appears only as
         # positive/negative, matching reference __len__ semantics).
@@ -64,8 +65,14 @@ class SegmentBatches:
         ids = np.minimum(seg_ids, self.max_audio_id)
         return self.audio[ids]
 
-    def epoch(self) -> Iterator[dict]:
-        order = self.rng.permutation(self.n_train)
+    def epoch(self, epoch: Optional[int] = None) -> Iterator[dict]:
+        """One epoch of batches. With ``epoch`` given, ordering/negatives
+        come from a counter-based rng seeded (seed, epoch) — a resumed run
+        replays the identical stream (checkpoint/resume exactness); without
+        it the stateful rng keeps legacy behavior."""
+        rng = (self.rng if epoch is None
+               else np.random.default_rng((self.seed, epoch)))
+        order = rng.permutation(self.n_train)
         for b0 in range(0, self.n_train, self.batch_size):
             ids = order[b0:b0 + self.batch_size]
             if self.drop_last and len(ids) < self.batch_size:
@@ -73,7 +80,7 @@ class SegmentBatches:
             t_ids = np.stack([
                 np.concatenate((
                     [i + 1],
-                    sample_negatives(i, self.n_train, self.n_negs, self.rng)))
+                    sample_negatives(i, self.n_train, self.n_negs, rng)))
                 for i in ids])
             batch = {
                 "q_frames": self.windows[ids],

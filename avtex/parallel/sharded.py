@@ -6,8 +6,10 @@ parallel structure the reference hand-builds with per-GPU chunk dealing
 (reference: validate.py:441-493), minus all the bookkeeping.
 
 Training shards the batch over 'data' (grads all-reduced by XLA) and the
-audio-MLP's wide Dense kernels over 'model' (tensor parallelism: 12288x4096
-and 4096x4096 matmuls column/row-split so each device holds 1/tp of them).
+audio path's widest kernels over 'model' (tensor parallelism): the shared
+VGGish 512-channel convs in ContrastiveTextures, and the 12288x4096 /
+4096x4096 AudioMLP matmuls in VideoForAudio, column/row-split so each
+device holds 1/tp of them.
 """
 
 from __future__ import annotations
@@ -25,11 +27,17 @@ from avtex.data.preprocess import preprocess_clip
 from avtex.nn.slowfast import slowfast_pathways
 
 # (param-path regex, ndim) -> PartitionSpec. Megatron-style column-then-row
-# split of the audio MLP; everything else replicated.
+# splits: the audio MLP's wide Dense kernels (VideoForAudio), and the shared
+# VGGish's 512-channel conv pair in ContrastiveTextures (Conv_4 output
+# channels column-split, Conv_5 input channels row-split — XLA inserts the
+# psum). Everything else replicated.
 _TP_RULES = (
     (re.compile(r"audio_mlp.*Dense_0.*kernel"), P(None, "model")),
     (re.compile(r"audio_mlp.*Dense_0.*bias"), P("model")),
     (re.compile(r"audio_mlp.*Dense_1.*kernel"), P("model", None)),
+    (re.compile(r"audio_encoder.*Conv_4.*kernel"), P(None, None, None, "model")),
+    (re.compile(r"audio_encoder.*Conv_4.*bias"), P("model")),
+    (re.compile(r"audio_encoder.*Conv_5.*kernel"), P(None, None, "model", None)),
 )
 
 

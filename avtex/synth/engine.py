@@ -187,14 +187,21 @@ def synthesize_indices_host(q_table, t_table, num_steps: int,
                             seed_id: int = 10,
                             rng: Optional[np.random.Generator] = None
                             ) -> SynthesisResult:
-    """Host-side walk with the exact same semantics as synthesize_indices.
+    """Host-side walk with the exact per-step procedure of the reference.
 
     The logit matrix is one device matmul; the per-step threshold/sample
-    math is O(L) numpy. This path has NO compile cost for new (L, steps)
-    shapes (the scan program is minutes to compile via remote-attached TPUs
-    and is not servable from the persistent cache) and uses
-    ``np.random.Generator.choice`` — the reference's own sampling primitive
-    (validate.py:570-571).
+    math is O(L) numpy following validate.py line by line: candidates in
+    the reference's ORDER (positive first, then all other ids ascending,
+    validate.py:369-377), sum-normalize (:524), alpha blend (:525-527),
+    threshold + renormalize (:554-558), ``choice`` over surviving
+    *positions* (:569-571). Given the same seed/rng stream as a reference
+    run, the transition indices are bit-identical. ``rng`` may be a
+    ``np.random.Generator``, a legacy ``RandomState``, or the ``np.random``
+    module itself (what the reference's unseeded global calls use).
+
+    This path has NO compile cost for new (L, steps) shapes (the scan
+    program is minutes to compile via remote-attached TPUs and is not
+    servable from the persistent cache).
     """
     if rng is None:
         rng = np.random.default_rng(0)
@@ -207,25 +214,26 @@ def synthesize_indices_host(q_table, t_table, num_steps: int,
     idxs, jumps, ents, nnzs, greedy, pos_probs = [], [], [], [], [], []
     for step_i in range(num_steps):
         pos = min(q_id + 1, L - 1)
-        cand = (ids != q_id) | (pos == q_id)
+        mask = np.ones(L, dtype=bool)
+        mask[[q_id, pos]] = False
+        ordering = np.concatenate(([pos], ids[mask]))
 
-        def norm(row):
-            row = np.where(cand, row, 0.0)
-            return row / row.sum()
-
-        p = norm(logits[q_id])
+        out = logits[q_id][ordering].astype(np.float64)
+        out = out / out.sum()                        # validate.py:524
         if audio is not None:
-            p = alpha * p + (1.0 - alpha) * norm(audio[step_i])
-        p = np.where(cand, p, -np.inf)
-        mx = p.max()
-        p_thresh = np.where(cand & (p >= mx - threshold * mx), p, 0.0)
-        nz = np.flatnonzero(p_thresh)
-        p_renorm = p_thresh[nz] / p_thresh[nz].sum()
-        ents.append(float(abs(np.log(p_renorm).mean())))
+            oa = audio[step_i][ordering].astype(np.float64)
+            out = alpha * out + (1.0 - alpha) * (oa / oa.sum())
+        greedy.append(int(ordering[np.argmax(out)]))
+        pos_probs.append(float(out[0]))
+
+        mx = out.max()
+        out[out < mx - threshold * mx] = 0.0         # validate.py:554
+        nz = np.flatnonzero(out)
+        renorm = out[nz] / out[nz].sum()             # validate.py:558
+        ents.append(float(abs(np.log(renorm).mean())))
         nnzs.append(len(nz))
-        greedy.append(int(np.argmax(p)))
-        pos_probs.append(float(p[pos]))
-        nxt = int(rng.choice(nz))          # uniform over survivors
+        rdm = rng.choice(nz)                         # validate.py:569-571
+        nxt = int(ordering[int(rdm)])
         jumps.append(nxt != q_id + 1)
         idxs.append(nxt)
         q_id = nxt

@@ -82,6 +82,10 @@ def synthesize(cfg: Config, video_path: str, params,
         qa = jnp.zeros((1, 100, 64)) if cfg.model_type == 2 else None
         ta = jnp.zeros((1, 1, 100, 64)) if cfg.model_type == 2 else None
         params = jax.jit(model.init)(jax.random.key(cfg.seed), x, t_in, qa, ta)
+        if cfg.model_type == 2:
+            from avtex.utils.convert import maybe_load_vggish_into_model
+            params, _ = maybe_load_vggish_into_model(
+                params, context="model_type=2 synthesis (random init)")
 
     # ---- embed once ---------------------------------------------------- #
     with Timer() as t:
@@ -156,9 +160,14 @@ def synthesize(cfg: Config, video_path: str, params,
                 driving_examples.reshape(len(driving_examples), -1))
         else:  # "VGG" (default): raw VGGish conv features
             from avtex.nn.vggish import VGGish
+            from avtex.utils.convert import maybe_load_vggish
             vg = VGGish()
             vparams = jax.jit(vg.init)(jax.random.key(0),
                               jnp.zeros((1,) + audio_examples.shape[1:]))
+            # reference always scores with pretrained VGGish (main.py:338);
+            # warns loudly if no checkpoint is available.
+            vparams, _ = maybe_load_vggish(vparams,
+                                           context="-daf VGG scoring")
             src = vggish_audio_features(vg, vparams, audio_examples)
             drv = vggish_audio_features(vg, vparams, driving_examples)
         # one row per step; segment ids past the end clip to the last row

@@ -23,15 +23,25 @@ def _paths(ckpt_dir: str, logname: str):
 
 
 def save_checkpoint(ckpt_dir: str, logname: str, state: Any, epoch: int,
-                    arch: str, best_loss: float, is_best: bool) -> str:
-    """Write the latest checkpoint; copy to best on improvement."""
+                    arch: str, best_loss: float, is_best: bool,
+                    opt_state: Any = None, step: int = 0) -> str:
+    """Write the latest checkpoint; copy to best on improvement.
+
+    ``state`` is the model params; ``opt_state``/``step`` (optional) make
+    the run fully resumable — the optimizer's momentum trace and schedule
+    count survive, so a resumed run continues the StepLR where it left off
+    (the reference loses both, main.py:356-370 restores only state_dict).
+    """
     latest, best = _paths(ckpt_dir, logname)
     payload = {
         "epoch": epoch,
         "arch": arch,
         "best_loss": float(best_loss),
+        "step": int(step),
         "state": serialization.to_state_dict(state),
     }
+    if opt_state is not None:
+        payload["opt_state"] = serialization.to_state_dict(opt_state)
     with open(latest, "wb") as f:
         f.write(serialization.msgpack_serialize(
             jax.tree.map(lambda x: x, payload)))
@@ -40,17 +50,27 @@ def save_checkpoint(ckpt_dir: str, logname: str, state: Any, epoch: int,
     return best if is_best else latest
 
 
-def restore_checkpoint(path: str, state_template: Any
+def restore_checkpoint(path: str, state_template: Any,
+                       opt_template: Any = None
                        ) -> Optional[Dict[str, Any]]:
     """Load a checkpoint written by save_checkpoint.
 
-    Returns {"epoch", "arch", "best_loss", "state"} with "state" restored
-    onto ``state_template``, or None if the file doesn't exist.
+    Returns {"epoch", "arch", "best_loss", "step", "state"[, "opt_state"]}
+    with "state" restored onto ``state_template`` (and "opt_state" onto
+    ``opt_template`` when both are present), or None if the file doesn't
+    exist.
     """
     if not os.path.exists(path):
         return None
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    payload["state"] = serialization.from_state_dict(
-        state_template, payload["state"])
+    if state_template is not None:
+        payload["state"] = serialization.from_state_dict(
+            state_template, payload["state"])
+    payload.setdefault("step", 0)
+    if opt_template is not None and "opt_state" in payload:
+        payload["opt_state"] = serialization.from_state_dict(
+            opt_template, payload["opt_state"])
+    elif "opt_state" in payload:
+        del payload["opt_state"]
     return payload

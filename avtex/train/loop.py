@@ -19,6 +19,7 @@ import optax
 from flax.training import train_state
 
 from avtex.config import Config
+from avtex.contrastive.infonce import info_nce_from_logits
 from avtex.contrastive.model import ContrastiveTextures
 from avtex.data.pipeline import SegmentBatches, prefetch
 from avtex.data.preprocess import augment_and_preprocess, preprocess_clip
@@ -59,8 +60,7 @@ def make_train_step(model: ContrastiveTextures, tx: optax.GradientTransformation
             t_in = t_flat.reshape((b, n) + t_flat.shape[1:])
         logits = model.apply(params, q_in, t_in,
                              batch.get("q_audio"), batch.get("t_audio"))
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        loss = -jnp.mean(logp[:, 0])
+        loss = info_nce_from_logits(logits)
         acc = jnp.mean(jnp.argmax(logits, axis=-1) == 0)
         return loss, acc
 
@@ -93,6 +93,12 @@ def create_state(model: ContrastiveTextures, cfg: Config,
     t_audio = (jnp.asarray(sample_batch["t_audio"][:1, :2])
                if "t_audio" in sample_batch else None)
     params = jax.jit(model.init)(rng, q_in, t_in, q_audio, t_audio)
+    if cfg.model_type == 2:
+        # reference starts the audio tower from pretrained VGGish
+        # (main.py:338); warns loudly when the checkpoint is absent.
+        from avtex.utils.convert import maybe_load_vggish_into_model
+        params, _ = maybe_load_vggish_into_model(
+            params, context="model_type=2 training init")
 
     schedule = optax.piecewise_constant_schedule(
         cfg.lr, {steps_per_epoch * cfg.lr_steps: 0.1})
@@ -108,20 +114,27 @@ def create_state(model: ContrastiveTextures, cfg: Config,
 def train_video(cfg: Config, frames: np.ndarray,
                 audio_examples: Optional[np.ndarray] = None,
                 logger=None, epochs: Optional[int] = None,
-                log_every: int = 10, resume: Optional[str] = None
+                log_every: int = 10, resume: Optional[str] = None,
+                ckpt_dir: Optional[str] = None,
+                ckpt_name: Optional[str] = None
                 ) -> Tuple[train_state.TrainState, List[float]]:
     """Train the contrastive model on one video (reference: main.py:450-477).
 
     Returns (final state, per-epoch mean losses). Early-stops when epoch
     loss < cfg.early_stop_loss. ``resume``: checkpoint path to restore
-    params/epoch from before continuing (reference: main.py:356-370).
+    params/opt-state/epoch/best-loss from before continuing (reference:
+    main.py:356-370 — plus opt state, which the reference drops). When
+    ``ckpt_dir``/``ckpt_name`` are given, saves ``_latest`` every epoch and
+    copies to ``_best`` on improvement (reference: main.py:461-483).
     """
     if cfg.model_type == 2 and audio_examples is None:
         raise TrainConfigError("model_type=2 requires audio examples")
     model = ContrastiveTextures(arch=cfg.enc_arch, model_type=cfg.model_type,
                                 temp=cfg.temp)
     slowfast = cfg.enc_arch == "slowfast"
-    data = SegmentBatches(frames, cfg.window, cfg.train_stride,
+    train_stride = (cfg.train_stride if cfg.train_stride is not None
+                    else cfg.stride)
+    data = SegmentBatches(frames, cfg.window, train_stride,
                           n_negs=cfg.n_negs, batch_size=cfg.batch_size,
                           audio_examples=(audio_examples
                                           if cfg.model_type == 2 else None),
@@ -132,26 +145,35 @@ def train_video(cfg: Config, frames: np.ndarray,
     sample = next(data.epoch())
     state, tx = create_state(model, cfg, sample, len(data), slowfast)
 
-    start_epoch = 0
+    start_epoch = cfg.start_epoch or 0
+    best = float("inf")
     if resume:
         from .checkpoint import restore_checkpoint
-        payload = restore_checkpoint(resume, state.params)
+        payload = restore_checkpoint(resume, state.params, state.opt_state)
         if payload is not None:
             state = state.replace(params=payload["state"])
+            if "opt_state" in payload:
+                state = state.replace(opt_state=payload["opt_state"],
+                                      step=int(payload["step"]))
             start_epoch = int(payload["epoch"])
+            best = float(payload["best_loss"])
 
+    if ckpt_dir and ckpt_name is None:
+        raise TrainConfigError("ckpt_dir requires ckpt_name")
     step_fn = make_train_step(model, tx, cfg.img_size, slowfast)
-    rng = jax.random.key(cfg.seed + 1)
+    rng_base = jax.random.key(cfg.seed + 1)
 
     history: List[float] = []
-    best = float("inf")
     n_epochs = epochs if epochs is not None else cfg.epochs
     global_step = start_epoch * len(data)
     for epoch in range(start_epoch, n_epochs):
         meter = AverageMeter()
         t0 = time.perf_counter()
-        for batch in prefetch(data.epoch()):
-            rng, krng = jax.random.split(rng)
+        # Counter-based RNG (fold_in per step) + epoch-seeded data order: a
+        # resumed run replays the exact uninterrupted stream.
+        # cfg.workers (-j) sets prefetch depth; 0 keeps double-buffering.
+        for batch in prefetch(data.epoch(epoch), depth=max(2, cfg.workers)):
+            krng = jax.random.fold_in(rng_base, global_step)
             state, metrics = step_fn(state, batch, krng)
             loss = float(metrics["loss"])
             meter.update(loss, len(batch["q_ids"]))
@@ -166,7 +188,13 @@ def train_video(cfg: Config, frames: np.ndarray,
                                  global_step)
             global_step += 1
         history.append(meter.avg)
+        is_best = meter.avg < best
         best = min(best, meter.avg)
+        if ckpt_dir:  # latest every epoch, best on improvement (main.py:461-483)
+            from .checkpoint import save_checkpoint
+            save_checkpoint(ckpt_dir, ckpt_name, state.params, epoch + 1,
+                            cfg.enc_arch, best, is_best=is_best,
+                            opt_state=state.opt_state, step=int(state.step))
         if logger is not None:
             logger.log_scalar(meter.avg, "train/epoch_loss", epoch)
             logger.log_scalar(time.perf_counter() - t0, "train/epoch_time_s",

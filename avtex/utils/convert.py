@@ -106,6 +106,66 @@ def convert_slomo(torch_state: Dict[str, np.ndarray], flax_params):
     return _assign_in_order(flax_params, convs)
 
 
+def find_vggish_checkpoint(explicit: str = None) -> str:
+    """Locate pytorch_vggish.pth: explicit path, $AVTEX_VGGISH_CKPT, or the
+    reference's conventional locations (reference: main.py:338 loads
+    ``pretrained/pytorch_vggish.pth``). Returns None if absent."""
+    import os
+    for cand in (explicit, os.environ.get("AVTEX_VGGISH_CKPT"),
+                 "pretrained/pytorch_vggish.pth", "pytorch_vggish.pth"):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+def maybe_load_vggish(vggish_params, path: str = None, *, context: str = ""):
+    """Load pretrained VGGish weights into ``vggish_params`` if a checkpoint
+    can be found; otherwise warn LOUDLY and return the params unchanged.
+
+    The reference always loads pytorch_vggish.pth (main.py:338); random
+    VGGish conv features score driving audio meaninglessly, so running
+    without the checkpoint deserves more than silence.
+
+    Returns (params, loaded: bool).
+    """
+    import sys
+    found = find_vggish_checkpoint(path)
+    if found is None:
+        print(f"[avtex] WARNING: no pytorch_vggish.pth found ({context}); "
+              "VGGish runs with RANDOM weights — audio features are "
+              "meaningless. Set $AVTEX_VGGISH_CKPT or place the file at "
+              "pretrained/pytorch_vggish.pth.", file=sys.stderr)
+        return vggish_params, False
+    params = convert_vggish(load_torch_state(found), vggish_params)
+    print(f"[avtex] loaded pretrained VGGish weights from {found}")
+    return params, True
+
+
+def maybe_load_vggish_into_model(model_params, path: str = None, *,
+                                 context: str = ""):
+    """Graft pretrained VGGish weights into the shared ``audio_encoder``
+    subtree of full ContrastiveTextures params (model_type=2 init —
+    reference: main.py:338 always starts from pretrained VGGish).
+
+    Returns (params, loaded: bool); params unchanged (plus a loud warning)
+    when no checkpoint is found.
+    """
+    from flax.core import FrozenDict, freeze, unfreeze
+
+    frozen = isinstance(model_params, FrozenDict)
+    tree = unfreeze(model_params) if frozen else dict(model_params)
+    sub = tree.get("params", {}).get("audio_encoder")
+    if sub is None:
+        return model_params, False
+    new_sub, loaded = maybe_load_vggish({"params": sub}, path,
+                                        context=context)
+    if not loaded:
+        return model_params, False
+    tree["params"] = dict(tree["params"])
+    tree["params"]["audio_encoder"] = new_sub["params"]
+    return (freeze(tree) if frozen else tree), True
+
+
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth/.ckpt into numpy arrays (torch CPU)."""
     import torch

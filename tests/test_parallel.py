@@ -50,8 +50,18 @@ def test_param_shardings_tp_rules(mesh):
     specs = {"/".join(str(getattr(p, "key", p)) for p in path): s.spec
              for path, s in flat}
     tp = [k for k, v in specs.items() if v != P()]
-    assert any("audio_mlp" in k for k in tp), "audio MLP should be TP-sharded"
-    assert all("audio_mlp" in k for k in tp), "only the MLP should be sharded"
+    # the contrastive model's TP surface is the shared VGGish 512-channel
+    # conv pair (the audio MLP exists only in VideoForAudio now)
+    assert any("audio_encoder/Conv_4" in k for k in tp), \
+        "VGGish Conv_4 should be column-split"
+    assert any("audio_encoder/Conv_5/kernel" in k for k in tp), \
+        "VGGish Conv_5 kernel should be row-split"
+    assert all("audio_encoder" in k for k in tp), \
+        "only the shared VGGish should be sharded"
+    assert specs["params/audio_encoder/Conv_4/kernel"] == \
+        P(None, None, None, "model")
+    assert specs["params/audio_encoder/Conv_5/kernel"] == \
+        P(None, None, "model", None)
 
 
 @pytest.mark.slow

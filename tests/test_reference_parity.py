@@ -150,6 +150,112 @@ def test_log_mel_matches_reference():
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
 
 
+REF_VALIDATE = "/root/reference/contrastive_video_textures/validate.py"
+
+
+def _extract_block(lines, start_marker, end_marker):
+    """Slice [start_marker-line, end_marker-line] and strip the common
+    indentation, so the reference's own statements can be exec'd."""
+    import textwrap
+    starts = [i for i, l in enumerate(lines) if start_marker in l]
+    ends = [i for i, l in enumerate(lines) if end_marker in l]
+    i, j = starts[0], [e for e in ends if e >= starts[0]][0]
+    return textwrap.dedent("\n".join(lines[i:j + 1]))
+
+
+@pytest.fixture(scope="module")
+def reference_walk():
+    """The reference's synthesis decision loop (validate.py:369-572), built
+    by exec'ing the reference's OWN source lines per step.
+
+    validate.py itself cannot be imported here (ipdb/torchvision/librosa/
+    slowfast are absent), so the three pure-CPU decision blocks — candidate
+    ordering (:369-378), normalize+blend (:524-527), threshold/renormalize/
+    choice (:554-572) — are extracted verbatim and driven with injected
+    model outputs. Sampling uses the reference's own global
+    ``np.random.choice`` calls, seeded via np.random.seed.
+    """
+    import torch
+    from types import SimpleNamespace
+
+    lines = open(REF_VALIDATE).read().splitlines()
+    snip_order = _extract_block(lines, "pos_id = min((q_id + 1), L - 1)",
+                                "os_ids_t = torch.tensor(target_segment_ids)")
+    snip_blend = _extract_block(lines, "output /= output.sum()",
+                                "output = args.alpha * output")
+    snip_choice = _extract_block(
+        lines, "output[output < (output.max()",
+        "q_id = os_ids_t[rdm_id].item()")
+
+    def run(logits, num_steps, seed_id, threshold, alpha=0.5,
+            audio_logits=None, np_seed=0):
+        np.random.seed(np_seed)
+        L = logits.shape[0]
+        ns = {
+            "np": np, "torch": torch, "print": lambda *a, **k: None,
+            "args": SimpleNamespace(threshold=threshold, alpha=alpha),
+            "all_segment_ids": np.arange(L), "L": L, "q_id": int(seed_id),
+            "entropies": [], "non_zero_counts": [],
+            "driving_audio_name": (None if audio_logits is None else "da"),
+        }
+        idxs = []
+        for step in range(num_steps):
+            exec(snip_order, ns)
+            ordering = ns["target_segment_ids"]
+            ns["output"] = torch.tensor(
+                logits[ns["q_id"]][ordering].astype(np.float32))
+            if audio_logits is not None:
+                ns["output_a"] = torch.tensor(
+                    audio_logits[step][ordering].astype(np.float32))
+            exec(snip_blend, ns)
+            exec(snip_choice, ns)
+            idxs.append(int(ns["q_id"]))
+        return (np.asarray(idxs),
+                np.asarray([float(e) for e in ns["entropies"]]),
+                np.asarray(ns["non_zero_counts"]))
+
+    return run
+
+
+@pytest.mark.parametrize("threshold,with_audio",
+                         [(0.25, False), (0.5, False),
+                          (0.25, True), (0.5, True)])
+def test_walk_matches_reference_decision_loop(reference_walk, threshold,
+                                              with_audio):
+    """avtex host walk vs the reference's own validate.py decision code:
+    identical transition-index sequences, step for step, sharing the
+    reference's global np.random stream (BASELINE.json exactness bar)."""
+    import jax.numpy as jnp
+    from avtex.synth.engine import synthesize_indices_host
+
+    g = np.random.default_rng(11)
+    L, D, steps, temp = 23, 16, 60, 0.1
+    q = g.standard_normal((L, D)).astype(np.float32)
+    t = g.standard_normal((L, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    logits = (q @ t.T).astype(np.float32) / temp
+    audio = None
+    if with_audio:
+        audio = (np.abs(g.standard_normal((steps, L))) + 0.1
+                 ).astype(np.float32)
+
+    ref_idx, ref_ent, ref_nnz = reference_walk(
+        logits, steps, seed_id=10, threshold=threshold, alpha=0.5,
+        audio_logits=audio, np_seed=123)
+
+    np.random.seed(123)  # host walk consumes the same global stream
+    res = synthesize_indices_host(
+        jnp.asarray(q), jnp.asarray(t), steps, temp=temp,
+        threshold=threshold, alpha=0.5,
+        audio_logits=None if audio is None else jnp.asarray(audio),
+        seed_id=10, rng=np.random)
+
+    np.testing.assert_array_equal(res.indices, ref_idx)
+    np.testing.assert_array_equal(res.nonzero_counts, ref_nnz)
+    np.testing.assert_allclose(res.entropies, ref_ent, rtol=1e-4, atol=1e-5)
+
+
 def test_batching_utils_match_reference():
     """avtex.utils.batching vs the reference's torch implementations."""
     import importlib.util

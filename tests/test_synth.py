@@ -158,6 +158,42 @@ def test_slomo_interp_shapes():
     assert mids.shape == (4, 32, 48, 3)
 
 
+@pytest.mark.parametrize("threshold,with_audio",
+                         [(0.25, False), (0.5, False),
+                          (0.25, True), (0.5, True)])
+def test_host_walk_matches_oracle_step(tables, rng, threshold, with_audio):
+    """Seeded host walk vs tests/oracle.py::oracle_synthesis_step at th>0,
+    with and without driving-audio rows: identical indices step by step
+    (full walk semantics — threshold, sum-normalize, alpha blend, uniform
+    choice over survivors; validate.py:369-572)."""
+    from avtex.synth.engine import synthesize_indices_host
+    from tests.oracle import oracle_synthesis_step
+
+    q, t = tables
+    temp, steps, alpha = 0.1, 40, 0.5
+    logits = np.asarray(q @ t.T) / temp
+    L = logits.shape[0]
+    audio = None
+    if with_audio:
+        audio = (np.abs(rng.standard_normal((steps, L))) + 0.1
+                 ).astype(np.float32)
+
+    g1 = np.random.default_rng(42)
+    expect = []
+    q_id = 3
+    for s in range(steps):
+        q_id = oracle_synthesis_step(
+            logits[q_id], q_id, L, threshold, g1,
+            audio_row=None if audio is None else audio[s], alpha=alpha)
+        expect.append(q_id)
+
+    res = synthesize_indices_host(
+        q, t, steps, temp=temp, threshold=threshold, alpha=alpha,
+        audio_logits=None if audio is None else jnp.asarray(audio),
+        seed_id=3, rng=np.random.default_rng(42))
+    np.testing.assert_array_equal(res.indices, expect)
+
+
 def test_host_walk_matches_device_greedy(tables):
     """threshold=0 -> deterministic; host and device walks must agree."""
     from avtex.synth.engine import synthesize_indices_host

@@ -50,6 +50,45 @@ def test_checkpoint_roundtrip(tmp_path, tiny_cfg, tiny_video):
         np.testing.assert_array_equal(a, b)
 
 
+def test_resume_replays_uninterrupted_run(tmp_path, tiny_cfg, tiny_video):
+    """Kill at epoch 2 of 3, resume from _latest: identical losses, params
+    and optimizer step as the uninterrupted run (params+opt-state+schedule
+    all survive; reference only saves state_dict, main.py:461-483)."""
+    full_state, full_hist = train_video(tiny_cfg, tiny_video, epochs=3)
+
+    _, h1 = train_video(tiny_cfg, tiny_video, epochs=2,
+                        ckpt_dir=str(tmp_path), ckpt_name="r")
+    latest = str(tmp_path / "r_latest")
+    res_state, h2 = train_video(tiny_cfg, tiny_video, epochs=3,
+                                resume=latest,
+                                ckpt_dir=str(tmp_path), ckpt_name="r")
+    assert len(h1) == 2 and len(h2) == 1
+    np.testing.assert_allclose(h1 + h2, full_hist, rtol=1e-5)
+    assert int(res_state.step) == int(full_state.step)
+    import jax
+    for a, b in zip(jax.tree.leaves(full_state.params),
+                    jax.tree.leaves(res_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_per_epoch_best_checkpointing(tmp_path, tiny_cfg, tiny_video):
+    _, hist = train_video(tiny_cfg, tiny_video, epochs=2,
+                          ckpt_dir=str(tmp_path), ckpt_name="b")
+    assert (tmp_path / "b_latest").exists()
+    assert (tmp_path / "b_best").exists()
+    payload = restore_checkpoint(str(tmp_path / "b_latest"), None)
+    assert payload["epoch"] == 2
+    assert payload["best_loss"] == pytest.approx(min(hist), rel=1e-6)
+    assert "opt_state" not in payload  # dropped without a template
+
+
+def test_start_epoch_flag(tiny_cfg, tiny_video):
+    cfg = dataclasses.replace(tiny_cfg, start_epoch=1)
+    _, hist = train_video(cfg, tiny_video, epochs=3)
+    assert len(hist) == 2  # epochs 1 and 2
+
+
 @pytest.mark.slow
 def test_early_stop(tiny_video):
     cfg = Config(enc_arch="resnet10", model_type=1, img_size=32, window=4,
