@@ -61,9 +61,11 @@ class SegmentEmbedder(nn.Module):
     model_type: int = 1           # 1: video only; 2: video + audio
     audio_encoder: Optional[nn.Module] = None
     dtype: Any = jnp.bfloat16
+    norm: str = "group"           # "affine" = folded frozen-BN inference
 
     def setup(self):
-        module, feat_dim, kind = build_encoder(self.arch, dtype=self.dtype)
+        module, feat_dim, kind = build_encoder(self.arch, dtype=self.dtype,
+                                               norm=self.norm)
         self.video_encoder = module
         self.input_kind = kind
         self.video_feat_dim = feat_dim
@@ -96,6 +98,7 @@ class ContrastiveTextures(nn.Module):
     model_type: int = 1
     temp: float = 0.1
     dtype: Any = jnp.bfloat16
+    norm: str = "group"           # "affine" = folded frozen-BN inference
 
     def setup(self):
         audio_enc = None
@@ -107,10 +110,10 @@ class ContrastiveTextures(nn.Module):
             audio_enc = self.audio_encoder
         self.q_embedder = SegmentEmbedder(self.arch, self.model_type,
                                           audio_encoder=audio_enc,
-                                          dtype=self.dtype)
+                                          dtype=self.dtype, norm=self.norm)
         self.t_embedder = SegmentEmbedder(self.arch, self.model_type,
                                           audio_encoder=audio_enc,
-                                          dtype=self.dtype)
+                                          dtype=self.dtype, norm=self.norm)
 
     def _flatten_targets(self, t_frames):
         """[B, N, ...] -> ([B*N, ...], B, N) for batched encoding."""

@@ -22,14 +22,15 @@ class DenseLayer3D(nn.Module):
     growth_rate: int
     bn_size: int = 4
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x):
-        y = _norm(x.shape[-1], self.dtype)(x)
+        y = _norm(x.shape[-1], self.dtype, self.norm)(x)
         y = nn.relu(y)
         y = nn.Conv(self.bn_size * self.growth_rate, (1, 1, 1),
                     use_bias=False, dtype=self.dtype)(y)
-        y = _norm(y.shape[-1], self.dtype)(y)
+        y = _norm(y.shape[-1], self.dtype, self.norm)(y)
         y = nn.relu(y)
         y = nn.Conv(self.growth_rate, (3, 3, 3), padding="SAME",
                     use_bias=False, dtype=self.dtype)(y)
@@ -43,6 +44,7 @@ class DenseNet3D(nn.Module):
     growth_rate: int = 32
     init_features: int = 64
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
 
     @property
     def feat_dim(self) -> int:
@@ -58,19 +60,20 @@ class DenseNet3D(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(self.init_features, (7, 7, 7), (1, 2, 2), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)
-        x = _norm(self.init_features, self.dtype)(x)
+        x = _norm(self.init_features, self.dtype, self.norm)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3, 3), (2, 2, 2), padding="SAME")
         for i, n_layers in enumerate(self.block_config):
             for _ in range(n_layers):
-                x = DenseLayer3D(self.growth_rate, dtype=self.dtype)(x)
+                x = DenseLayer3D(self.growth_rate, dtype=self.dtype,
+                                 norm=self.norm)(x)
             if i != len(self.block_config) - 1:
-                x = _norm(x.shape[-1], self.dtype)(x)
+                x = _norm(x.shape[-1], self.dtype, self.norm)(x)
                 x = nn.relu(x)
                 x = nn.Conv(x.shape[-1] // 2, (1, 1, 1), use_bias=False,
                             dtype=self.dtype)(x)
                 x = nn.avg_pool(x, (2, 2, 2), (2, 2, 2))
-        x = _norm(x.shape[-1], self.dtype)(x)
+        x = _norm(x.shape[-1], self.dtype, self.norm)(x)
         x = nn.relu(x)
         x = jnp.mean(x, axis=(1, 2, 3))
         return x.astype(jnp.float32)

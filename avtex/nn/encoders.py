@@ -44,8 +44,14 @@ _register("densenet169", densenet3d.densenet3d169)
 _register("slowfast", slowfast.SlowFastR50, kind="slowfast")
 
 
-def build_encoder(arch: str, dtype: Any = jnp.bfloat16):
+def build_encoder(arch: str, dtype: Any = jnp.bfloat16,
+                  norm: str = "group"):
     """Instantiate a video encoder.
+
+    ``norm``: "group" (trainable GroupNorm, default) or "affine" (folded
+    frozen-BN inference variant — importable from the reference's
+    pretrained torch checkpoints via convert.convert_bn_folded, and free
+    of norm reductions at inference).
 
     Returns:
       (module, feat_dim, input_kind).
@@ -54,5 +60,5 @@ def build_encoder(arch: str, dtype: Any = jnp.bfloat16):
         raise ValueError(
             f"unknown encoder arch {arch!r}; have {sorted(ENCODER_REGISTRY)}")
     factory, kind = ENCODER_REGISTRY[arch]
-    module = factory(dtype=dtype)
+    module = factory(dtype=dtype, norm=norm)
     return module, module.feat_dim, kind

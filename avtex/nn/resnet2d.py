@@ -16,27 +16,30 @@ import jax.numpy as jnp
 
 from .resnet3d import _norm
 
+PAD1_2D = ((1, 1), (1, 1))
+
 
 class BasicBlock2D(nn.Module):
     features: int
     stride: int = 1
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
     expansion = 1
 
     @nn.compact
     def __call__(self, x):
         r = x
         s = (self.stride, self.stride)
-        y = nn.Conv(self.features, (3, 3), s, padding="SAME", use_bias=False,
+        y = nn.Conv(self.features, (3, 3), s, padding=PAD1_2D, use_bias=False,
                     dtype=self.dtype)(x)
-        y = nn.relu(_norm(self.features, self.dtype)(y))
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+        y = nn.relu(_norm(self.features, self.dtype, self.norm)(y))
+        y = nn.Conv(self.features, (3, 3), padding=PAD1_2D, use_bias=False,
                     dtype=self.dtype)(y)
-        y = _norm(self.features, self.dtype)(y)
+        y = _norm(self.features, self.dtype, self.norm)(y)
         if r.shape[-1] != self.features or self.stride != 1:
             r = nn.Conv(self.features, (1, 1), s, use_bias=False,
                         dtype=self.dtype)(x)
-            r = _norm(self.features, self.dtype)(r)
+            r = _norm(self.features, self.dtype, self.norm)(r)
         return nn.relu(y + r.astype(y.dtype))
 
 
@@ -46,6 +49,7 @@ class ResNet2D(nn.Module):
     layers: Sequence[int] = (2, 2, 2, 2)
     width: int = 64
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
 
     @property
     def feat_dim(self) -> int:
@@ -54,15 +58,16 @@ class ResNet2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), (2, 2), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(x)
-        x = nn.relu(_norm(64, self.dtype)(x))
-        x = nn.max_pool(x, (3, 3), (2, 2), padding="SAME")
+        x = nn.Conv(64, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.relu(_norm(64, self.dtype, self.norm)(x))
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=PAD1_2D)
         for i, n_blocks in enumerate(self.layers):
             feats = self.width * (2 ** i)
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
-                x = BasicBlock2D(feats, stride, dtype=self.dtype)(x)
+                x = BasicBlock2D(feats, stride, dtype=self.dtype,
+                                 norm=self.norm)(x)
         x = jnp.mean(x, axis=(1, 2))
         return x.astype(jnp.float32)
 
@@ -81,6 +86,7 @@ class FrameMean2D(nn.Module):
 
     layers: Sequence[int] = (2, 2, 2, 2)
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
 
     @property
     def feat_dim(self) -> int:
@@ -91,5 +97,6 @@ class FrameMean2D(nn.Module):
         # [B, T, H, W, 3] -> fold T into batch for the 2D net
         b, t = x.shape[:2]
         flat = x.reshape((-1,) + x.shape[2:])
-        feats = ResNet2D(layers=self.layers, dtype=self.dtype)(flat)
+        feats = ResNet2D(layers=self.layers, dtype=self.dtype,
+                         norm=self.norm)(flat)
         return feats.reshape(b, t, -1).mean(axis=1)

@@ -3,9 +3,22 @@
 Topology follows the reference's r3d family — BasicBlock/Bottleneck, conv1
 7³ with spatial-only stride (1,2,2), stage strides 2 from layer2 on, global
 average pool (reference: models/video_models/resnet3d.py:119-191). TPU-first
-differences: channels-last layout, GroupNorm instead of BatchNorm (stateless
-under jit; the reference only ever ran these eval-mode with frozen stats),
-bfloat16 compute with fp32 norm/head.
+differences: channels-last layout, bfloat16 compute with fp32 norm/head,
+and a ``norm`` choice:
+
+- ``"group"`` (default, for training from scratch): GroupNorm — stateless
+  under jit, no running stats to shard or sync.
+- ``"affine"`` (inference / pretrained import): per-channel scale+shift,
+  exactly what frozen BatchNorm reduces to. The reference only ever runs
+  these encoders eval-mode with frozen stats (resnet3d.py:18-24 pretrained
+  r3d18_KM_200ep.pth), so folding BN into an affine is lossless — and on
+  TPU it turns every norm into a conv-epilogue fusion instead of a
+  reduction pass (see avtex/utils/convert.py::convert_bn_folded).
+
+Padding is torch-explicit (pad 1 on 3³ convs and the stem maxpool) rather
+than XLA "SAME", so activations align bit-for-bit with the reference's
+nn.Conv3d(padding=1) even at stride 2 — required for exact pretrained-
+weight parity (SAME places the extra pad on the high side at even sizes).
 """
 
 from __future__ import annotations
@@ -16,8 +29,26 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+PAD1 = ((1, 1), (1, 1), (1, 1))
 
-def _norm(ch: int, dtype):
+
+class Affine(nn.Module):
+    """Folded frozen-BatchNorm: y = x*scale + bias, per channel."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.ch,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.ch,),
+                          jnp.float32)
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def _norm(ch: int, dtype, norm: str = "group"):
+    if norm == "affine":
+        return Affine(ch)
     return nn.GroupNorm(num_groups=min(32, ch), dtype=jnp.float32)
 
 
@@ -25,22 +56,23 @@ class BasicBlock3D(nn.Module):
     features: int
     stride: Tuple[int, int, int] = (1, 1, 1)
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
     expansion = 1
 
     @nn.compact
     def __call__(self, x):
         r = x
-        y = nn.Conv(self.features, (3, 3, 3), self.stride, padding="SAME",
+        y = nn.Conv(self.features, (3, 3, 3), self.stride, padding=PAD1,
                     use_bias=False, dtype=self.dtype)(x)
-        y = _norm(self.features, self.dtype)(y)
+        y = _norm(self.features, self.dtype, self.norm)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3, 3), padding="SAME",
+        y = nn.Conv(self.features, (3, 3, 3), padding=PAD1,
                     use_bias=False, dtype=self.dtype)(y)
-        y = _norm(self.features, self.dtype)(y)
+        y = _norm(self.features, self.dtype, self.norm)(y)
         if r.shape[-1] != self.features or self.stride != (1, 1, 1):
             r = nn.Conv(self.features, (1, 1, 1), self.stride,
                         use_bias=False, dtype=self.dtype)(x)
-            r = _norm(self.features, self.dtype)(r)
+            r = _norm(self.features, self.dtype, self.norm)(r)
         return nn.relu(y + r.astype(y.dtype))
 
 
@@ -49,6 +81,7 @@ class Bottleneck3D(nn.Module):
     stride: Tuple[int, int, int] = (1, 1, 1)
     groups: int = 1
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
     expansion = 4
 
     @nn.compact
@@ -57,19 +90,19 @@ class Bottleneck3D(nn.Module):
         out_ch = self.features * self.expansion
         y = nn.Conv(self.features, (1, 1, 1), use_bias=False,
                     dtype=self.dtype)(x)
-        y = _norm(self.features, self.dtype)(y)
+        y = _norm(self.features, self.dtype, self.norm)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3, 3), self.stride, padding="SAME",
+        y = nn.Conv(self.features, (3, 3, 3), self.stride, padding=PAD1,
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype)(y)
-        y = _norm(self.features, self.dtype)(y)
+        y = _norm(self.features, self.dtype, self.norm)(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = _norm(out_ch, self.dtype)(y)
+        y = _norm(out_ch, self.dtype, self.norm)(y)
         if r.shape[-1] != out_ch or self.stride != (1, 1, 1):
             r = nn.Conv(out_ch, (1, 1, 1), self.stride, use_bias=False,
                         dtype=self.dtype)(x)
-            r = _norm(out_ch, self.dtype)(r)
+            r = _norm(out_ch, self.dtype, self.norm)(r)
         return nn.relu(y + r.astype(y.dtype))
 
 
@@ -81,6 +114,7 @@ class ResNet3D(nn.Module):
     groups: int = 1
     width: int = 64
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
 
     @property
     def feat_dim(self) -> int:
@@ -91,14 +125,15 @@ class ResNet3D(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7, 7), (1, 2, 2), padding=((3, 3), (3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype)(x)
-        x = _norm(64, self.dtype)(x)
+        x = _norm(64, self.dtype, self.norm)(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3, 3), (2, 2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3, 3), (2, 2, 2), padding=PAD1)
         for i, n_blocks in enumerate(self.layers):
             feats = self.width * (2 ** i)
             for j in range(n_blocks):
                 stride = (2, 2, 2) if (i > 0 and j == 0) else (1, 1, 1)
-                kwargs = dict(features=feats, stride=stride, dtype=self.dtype)
+                kwargs = dict(features=feats, stride=stride, dtype=self.dtype,
+                              norm=self.norm)
                 if issubclass(self.block, Bottleneck3D):
                     kwargs["groups"] = self.groups
                 x = self.block(**kwargs)(x)

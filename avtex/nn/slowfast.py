@@ -42,6 +42,7 @@ class SFBottleneck(nn.Module):
     t_kernel: int = 1
     spatial_stride: int = 1
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
     expansion = 4
 
     @nn.compact
@@ -51,18 +52,18 @@ class SFBottleneck(nn.Module):
         out_ch = self.features * self.expansion
         y = nn.Conv(self.features, (self.t_kernel, 1, 1), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)
-        y = _norm(self.features, self.dtype)(y)
+        y = _norm(self.features, self.dtype, self.norm)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (1, 3, 3), s, padding="SAME",
                     use_bias=False, dtype=self.dtype)(y)
-        y = _norm(self.features, self.dtype)(y)
+        y = _norm(self.features, self.dtype, self.norm)(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = _norm(out_ch, self.dtype)(y)
+        y = _norm(out_ch, self.dtype, self.norm)(y)
         if r.shape[-1] != out_ch or self.spatial_stride != 1:
             r = nn.Conv(out_ch, (1, 1, 1), s, use_bias=False,
                         dtype=self.dtype)(x)
-            r = _norm(out_ch, self.dtype)(r)
+            r = _norm(out_ch, self.dtype, self.norm)(r)
         return nn.relu(y + r.astype(y.dtype))
 
 
@@ -79,6 +80,7 @@ class SlowFastR50(nn.Module):
     width: int = 64
     dtype: Any = jnp.bfloat16
     s2d_stem: bool = False
+    norm: str = "group"  # "affine" = folded frozen-BN (see resnet3d._norm)
 
     @property
     def feat_dim(self) -> int:
@@ -101,7 +103,7 @@ class SlowFastR50(nn.Module):
         # Stems: slow has no temporal extent, fast a 5-frame one.
         slow = nn.Conv(w, (1, 7, 7), (1, 2, 2), padding="SAME",
                        use_bias=False, dtype=self.dtype)(slow)
-        slow = nn.relu(_norm(w, self.dtype)(slow))
+        slow = nn.relu(_norm(w, self.dtype, self.norm)(slow))
         # One param serves both stem implementations, so the s2d flag can
         # flip on any checkpoint.
         k_fast = self.param(
@@ -116,7 +118,7 @@ class SlowFastR50(nn.Module):
                 fast, k_fast, (1, 2, 2), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 preferred_element_type=self.dtype)
-        fast = nn.relu(_norm(wf, self.dtype)(fast))
+        fast = nn.relu(_norm(wf, self.dtype, self.norm)(fast))
         slow = nn.max_pool(slow, (1, 3, 3), (1, 2, 2), padding="SAME")
         fast = nn.max_pool(fast, (1, 3, 3), (1, 2, 2), padding="SAME")
         slow = jnp.concatenate(
@@ -129,9 +131,9 @@ class SlowFastR50(nn.Module):
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
                 slow = SFBottleneck(feats, slow_t[i], stride,
-                                    dtype=self.dtype)(slow)
+                                    dtype=self.dtype, norm=self.norm)(slow)
                 fast = SFBottleneck(feats // BETA_INV, 3, stride,
-                                    dtype=self.dtype)(fast)
+                                    dtype=self.dtype, norm=self.norm)(fast)
             if i != len(self.layers) - 1:
                 lateral = self._lateral(fast, 2 * (feats // BETA_INV)
                                         * SFBottleneck.expansion)

@@ -8,10 +8,14 @@ the avtex flax modules exists. This module performs it when the user has
 the files; otherwise avtex runs with random init (VGGish) or crossfade
 (SuperSloMo).
 
-3D ResNet weights (``r3d18_KM_200ep.pth``) are NOT convertible exactly:
-the torch nets use BatchNorm running stats while avtex uses stateless
-GroupNorm (a deliberate TPU-first change) — documented here so nobody
-chases that ghost.
+BatchNorm nets (``r3d18_KM_200ep.pth``-style 3D ResNets, torchvision 2D
+ResNets — reference: models/models.py:565-580, video_models/resnet3d.py:
+18-24) convert via ``convert_bn_folded``: the reference only ever runs
+them eval-mode with frozen stats, and frozen BN is exactly a per-channel
+affine, which folds into the ``norm="affine"`` inference variants of the
+avtex encoders (avtex/nn/resnet3d.py) with zero numerical loss. This also
+kills the norm-reduction op tail at inference — every norm becomes a
+conv-epilogue fusion.
 
 Conversion rule: torch conv weight [out, in, *k] -> flax kernel
 [*k, in, out]; biases pass through. Layers are matched in declaration
@@ -84,6 +88,135 @@ def _assign_in_order(flax_params, conv_pairs):
 
     def rebuild(path, leaf):
         keys = "/".join(str(getattr(p, "key", p)) for p in path)
+        if keys in replacements:
+            return np.asarray(replacements[keys], dtype=np.float32)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(rebuild, flax_params)
+
+
+def _torch_tokens(state: Dict[str, np.ndarray], eps: float = 1e-5):
+    """Tokenize a torch state dict in declaration order.
+
+    Yields ("conv", kernel, bias) for conv modules and ("norm", scale,
+    shift) for BatchNorm modules with their frozen stats folded to the
+    equivalent per-channel affine: scale = gamma/sqrt(var+eps),
+    shift = beta - mean*scale. A conv bias immediately preceding a BN is
+    folded into that BN's shift (the flax convs are bias-free).
+    """
+    bases: List[str] = []
+    by_base: Dict[str, Dict[str, np.ndarray]] = {}
+    for key in state:
+        base, _, leaf = key.rpartition(".")
+        if base not in by_base:
+            by_base[base] = {}
+            bases.append(base)
+        by_base[base][leaf] = np.asarray(state[key])
+
+    tokens = []
+    for base in bases:
+        mod = by_base[base]
+        w = mod.get("weight")
+        if "running_mean" in mod:
+            gamma = mod.get("weight")
+            beta = mod.get("bias")
+            mean, var = mod["running_mean"], mod["running_var"]
+            scale = (1.0 if gamma is None else gamma) / np.sqrt(var + eps)
+            shift = (0.0 if beta is None else beta) - mean * scale
+            if tokens and tokens[-1][0] == "conv" and tokens[-1][2] is not None:
+                kind, k, b = tokens[-1]
+                tokens[-1] = (kind, k, None)
+                shift = shift + scale * b
+            tokens.append(("norm", scale.astype(np.float32),
+                           shift.astype(np.float32)))
+        elif w is not None and w.ndim >= 3:
+            tokens.append(("conv", _torch_conv_to_flax(w), mod.get("bias")))
+    return tokens
+
+
+def _module_call_order(module, flax_params, *example_args) -> List[str]:
+    """Module paths ("A/B/C") in first-call order, via a capture pass.
+
+    Flax param dicts flatten alphabetically (Conv_0 sorts after
+    BasicBlock3D_*), so declaration order cannot be read off the tree;
+    capture_intermediates preserves true call order via dict insertion.
+    """
+    _, state = module.apply(flax_params, *example_args,
+                            capture_intermediates=lambda mod, name: True)
+    order: List[str] = []
+
+    def walk(d, prefix):
+        for k, v in d.items():
+            if k == "__call__" or not hasattr(v, "items"):
+                continue
+            order.append("/".join(prefix + [k]))
+            walk(v, prefix + [k])
+
+    walk(state["intermediates"], [])
+    return order
+
+
+def convert_bn_folded(torch_state: Dict[str, np.ndarray], module,
+                      flax_params, *example_args, eps: float = 1e-5):
+    """Import a frozen-BatchNorm torch net into a ``norm="affine"`` avtex
+    net: conv kernels copied, each BN folded into the matching Affine's
+    (scale, bias). Call order must interleave identically
+    (conv, norm, conv, norm, ...) — asserted per slot, with shape checks.
+
+    ``module``/``example_args`` drive one apply pass to recover call order
+    (example_args can be tiny — only shapes' divisibility matters).
+    """
+    import jax
+
+    tokens = _torch_tokens(torch_state, eps)
+    call_order = _module_call_order(module, flax_params, *example_args)
+
+    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
+    by_module: Dict[str, dict] = {}
+    for path, leaf in flat:
+        keys = [str(getattr(p, "key", p)) for p in path]
+        if keys[-1] not in ("kernel", "bias", "scale") or np.ndim(leaf) < 1:
+            continue
+        # drop the leading "params" collection key
+        mod = "/".join(k for k in keys[:-1] if k != "params")
+        by_module.setdefault(mod, {})[keys[-1]] = leaf
+    typed_slots = []
+    for mod in call_order:
+        d = by_module.get(mod)
+        if not d:
+            continue
+        if "scale" in d:
+            typed_slots.append(("norm", mod, d))
+        elif np.ndim(d.get("kernel")) >= 3:
+            typed_slots.append(("conv", mod, d))
+    if len(typed_slots) != len(tokens):
+        raise ValueError(f"slot count mismatch: flax {len(typed_slots)} vs "
+                         f"torch {len(tokens)}")
+
+    replacements = {}
+    for (kind, mod, d), tok in zip(typed_slots, tokens):
+        if kind != tok[0]:
+            raise ValueError(f"slot kind mismatch at {mod}: flax {kind} vs "
+                             f"torch {tok[0]}")
+        if kind == "conv":
+            _, w, b = tok
+            if tuple(d["kernel"].shape) != tuple(w.shape):
+                raise ValueError(f"shape mismatch at {mod}: flax "
+                                 f"{d['kernel'].shape} vs torch {w.shape}")
+            replacements[mod + "/kernel"] = w
+            if b is not None and "bias" in d:
+                replacements[mod + "/bias"] = b
+        else:
+            _, scale, shift = tok
+            if tuple(d["scale"].shape) != tuple(scale.shape):
+                raise ValueError(f"norm shape mismatch at {mod}: flax "
+                                 f"{d['scale'].shape} vs torch {scale.shape}")
+            replacements[mod + "/scale"] = scale
+            replacements[mod + "/bias"] = shift
+
+    def rebuild(path, leaf):
+        keys = "/".join(str(getattr(p, "key", p)) for p in path
+                        if str(getattr(p, "key", p)) != "params")
         if keys in replacements:
             return np.asarray(replacements[keys], dtype=np.float32)
         return leaf
@@ -164,6 +297,42 @@ def maybe_load_vggish_into_model(model_params, path: str = None, *,
     tree["params"] = dict(tree["params"])
     tree["params"]["audio_encoder"] = new_sub["params"]
     return (freeze(tree) if frozen else tree), True
+
+
+def find_encoder_checkpoint(arch: str, explicit: str = None) -> str:
+    """Locate a pretrained encoder checkpoint: explicit path,
+    $AVTEX_ENCODER_CKPT, or the reference's conventional filenames
+    (resnet3d.py:18-24 ``r3d18_KM_200ep.pth`` under ``pretrained/``).
+    Returns None if absent."""
+    import os
+    names = {"resnet18": "r3d18_KM_200ep.pth"}
+    fname = names.get(arch)
+    for cand in (explicit, os.environ.get("AVTEX_ENCODER_CKPT"),
+                 fname and f"pretrained/{fname}", fname):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+def maybe_load_encoder(arch: str, module, params, *example_args,
+                       path: str = None, context: str = ""):
+    """Load a pretrained BN torch checkpoint into a ``norm="affine"``
+    encoder via convert_bn_folded, if one can be found (reference:
+    models/models.py:556-563 loads r3d18_KM_200ep.pth for resnet18).
+
+    Returns (params, loaded: bool); silent no-op when no file exists (the
+    reference's checkpoints are external artifacts it does not ship).
+    """
+    found = find_encoder_checkpoint(arch, path)
+    if found is None:
+        return params, False
+    state = load_torch_state(found)
+    # drop classifier tensors (fc.*) — the feature forward never uses them
+    state = {k: v for k, v in state.items() if not k.startswith("fc.")}
+    params = convert_bn_folded(state, module, params, *example_args)
+    print(f"[avtex] loaded pretrained {arch} weights from {found} "
+          f"({context})")
+    return params, True
 
 
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:
