@@ -49,8 +49,12 @@ def main() -> None:
 
     L = num_segments(len(video), W, S, "val")
 
+    # norm="affine" is the flagship inference configuration: the reference
+    # always embeds eval-mode with frozen BatchNorm (validate.py:72), which
+    # IS a per-channel affine — and it is what pretrained imports produce
+    # (avtex/utils/convert.py::convert_bn_folded).
     model = ContrastiveTextures(arch=cfg.enc_arch, model_type=1,
-                                temp=cfg.temp)
+                                temp=cfg.temp, norm="affine")
     from avtex.data.preprocess import preprocess_clip
     from avtex.nn.slowfast import slowfast_pathways
     ti = time.perf_counter()
@@ -68,7 +72,7 @@ def main() -> None:
     print(f"[bench] params ready {time.perf_counter() - ti:.1f}s",
           file=sys.stderr, flush=True)
 
-    batch = 64
+    batch = 128  # measured sweet spot (see NOTES_r2)
     steps = num_synthesis_steps(seconds * fps, W, S)
 
     import os
