@@ -53,6 +53,10 @@ class Config:
     interpolation: bool = True          # -nintp stores False
     SF: int = 5                         # -SF: SuperSloMo factor at jumps
     frames_bar: bool = False            # -fb: burn red position bar into frames
+    vcam: bool = False                  # -vcam: CAM overlay videos (the
+                                        # reference reads args.vcam but never
+                                        # defines the flag — validate.py:299
+                                        # crashes as shipped; defined here)
     driving_audio: Optional[List[str]] = None  # -da: list of driving audio names
     da_feats: str = "VGG"               # -daf: VGG | Contrastive | Mel
     daf_resume: Optional[List[str]] = None     # -daf_resume

@@ -233,6 +233,23 @@ def synthesize(cfg: Config, video_path: str, params,
         paths["nonzero_png"] = save_bar_plot(
             result.nonzero_counts, base + "_nonzero.png",
             "surviving candidates per step")
+        if cfg.vcam:
+            # CAM overlay videos (reference: validate.py:745-778 — dead as
+            # shipped since --vcam is never defined; implemented embed-once
+            # in avtex/synth/cam.py).
+            from avtex.media.video import write_video
+            from avtex.synth.cam import cam_step_frames, segment_cams
+            with Timer() as t:
+                cams = segment_cams(model, params, video, W, S, L,
+                                    tower="query", img_size=cfg.img_size)
+                q_ids = np.concatenate([[result.seed_id],
+                                        np.asarray(result.indices[:-1])])
+                q_frames, p_frames = cam_step_frames(video, cams, q_ids, W, S)
+                paths["cam_q_video"] = write_video(
+                    q_frames, base + "_cam_q.mp4", fps)
+                paths["cam_p_video"] = write_video(
+                    p_frames, base + "_cam_p.mp4", fps)
+            timings["cam_s"] = t.elapsed
         paths["report"] = generate_html_report(
             base + "_report.html",
             {k: os.path.basename(v) for k, v in paths.items()

@@ -166,6 +166,15 @@ def main() -> None:
                                          if mesh is not None else 1), 1),
             "embed_tables_s": round(table_time[0], 3),
             "runs_s": [round(x, 3) for x in times],
+            # Similarity-stage multiplier vs the reference's own code,
+            # measured by tools/measure_similarity_speedup.py (see
+            # BASELINE.md "Round-2"): reference computeD1 torch-CPU 231.8 s
+            # at N=450 vs Pallas 0.30 s at N=1800 on this chip.
+            "similarity_speedup_measured": {
+                "ref_computeD1_cpu_n450_s": 231.8,
+                "pallas_d1_n1800_s": 0.30,
+                "lower_bound_x": 770,
+            },
         },
     }))
 

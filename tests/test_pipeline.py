@@ -102,3 +102,44 @@ def test_too_short_video_raises():
     from avtex.data.pipeline import SegmentBatches
     with pytest.raises(ValueError, match="too short"):
         SegmentBatches(np.zeros((5, 8, 8, 3), np.uint8), window=6, stride=2)
+
+
+def test_synthesize_vcam_outputs(tiny_clip, tmp_path):
+    """-vcam writes CAM overlay videos (reference validate.py:745-778 —
+    whose own flag is undefined as shipped; avtex defines it)."""
+    from avtex.synth.pipeline import synthesize
+    cfg = Config(enc_arch="resnet10", model_type=1, img_size=32,
+                 new_video_length=2, threshold=0.5, interpolation=False,
+                 mini_batchsize=8, seed=0, vcam=True)
+    out = synthesize(cfg, tiny_clip["video"], params=None,
+                     out_dir=str(tmp_path))
+    for key in ("cam_q_video", "cam_p_video"):
+        assert key in out["paths"] and os.path.exists(out["paths"][key])
+    import cv2
+    cap = cv2.VideoCapture(out["paths"]["cam_q_video"])
+    n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    assert n == len(out["result"].indices)
+    ok, frame = cap.read()
+    assert ok and frame.shape[:2] == (32, 32)
+    assert "cam_s" in out["timings"]
+
+
+def test_segment_cams_shapes(tiny_clip):
+    """segment_cams: one finite [h, w] map per segment from a capture pass."""
+    import jax
+    import jax.numpy as jnp
+    from avtex.contrastive.model import ContrastiveTextures
+    from avtex.media import read_video
+    from avtex.synth.cam import segment_cams
+
+    video, fps = read_video(tiny_clip["video"], 1)
+    W, S, L = 4, 2, 6
+    model = ContrastiveTextures(arch="resnet10", model_type=1)
+    x = jnp.zeros((1, W, 32, 32, 3), jnp.uint8)
+    from avtex.data.preprocess import preprocess_clip
+    xp = preprocess_clip(x, size=32)
+    params = jax.jit(model.init)(jax.random.key(0), xp, xp[:, None])
+    cams = segment_cams(model, params, video, W, S, L, img_size=32,
+                        batch_size=4)
+    assert cams.shape[0] == L and cams.ndim == 3
+    assert np.isfinite(cams).all()
