@@ -62,10 +62,12 @@ class SegmentEmbedder(nn.Module):
     audio_encoder: Optional[nn.Module] = None
     dtype: Any = jnp.bfloat16
     norm: str = "group"           # "affine" = folded frozen-BN inference
+    remat: bool = False           # checkpoint encoder blocks (train memory)
 
     def setup(self):
         module, feat_dim, kind = build_encoder(self.arch, dtype=self.dtype,
-                                               norm=self.norm)
+                                               norm=self.norm,
+                                               remat=self.remat)
         self.video_encoder = module
         self.input_kind = kind
         self.video_feat_dim = feat_dim
@@ -99,6 +101,7 @@ class ContrastiveTextures(nn.Module):
     temp: float = 0.1
     dtype: Any = jnp.bfloat16
     norm: str = "group"           # "affine" = folded frozen-BN inference
+    remat: bool = False           # checkpoint encoder blocks (train memory)
 
     def setup(self):
         audio_enc = None
@@ -110,10 +113,12 @@ class ContrastiveTextures(nn.Module):
             audio_enc = self.audio_encoder
         self.q_embedder = SegmentEmbedder(self.arch, self.model_type,
                                           audio_encoder=audio_enc,
-                                          dtype=self.dtype, norm=self.norm)
+                                          dtype=self.dtype, norm=self.norm,
+                                          remat=self.remat)
         self.t_embedder = SegmentEmbedder(self.arch, self.model_type,
                                           audio_encoder=audio_enc,
-                                          dtype=self.dtype, norm=self.norm)
+                                          dtype=self.dtype, norm=self.norm,
+                                          remat=self.remat)
 
     def _flatten_targets(self, t_frames):
         """[B, N, ...] -> ([B*N, ...], B, N) for batched encoding."""

@@ -45,13 +45,18 @@ _register("slowfast", slowfast.SlowFastR50, kind="slowfast")
 
 
 def build_encoder(arch: str, dtype: Any = jnp.bfloat16,
-                  norm: str = "group"):
+                  norm: str = "group", remat: bool = False):
     """Instantiate a video encoder.
 
     ``norm``: "group" (trainable GroupNorm, default) or "affine" (folded
     frozen-BN inference variant — importable from the reference's
     pretrained torch checkpoints via convert.convert_bn_folded, and free
     of norm reductions at inference).
+
+    ``remat``: checkpoint residual blocks (nn.remat) — costs one forward
+    recompute during backward, cuts peak activation memory to ~one block;
+    no effect on inference-only jits. Ignored by encoders without the
+    field (densenet/2D wrappers).
 
     Returns:
       (module, feat_dim, input_kind).
@@ -60,5 +65,8 @@ def build_encoder(arch: str, dtype: Any = jnp.bfloat16,
         raise ValueError(
             f"unknown encoder arch {arch!r}; have {sorted(ENCODER_REGISTRY)}")
     factory, kind = ENCODER_REGISTRY[arch]
-    module = factory(dtype=dtype, norm=norm)
+    try:
+        module = factory(dtype=dtype, norm=norm, remat=remat)
+    except TypeError:
+        module = factory(dtype=dtype, norm=norm)
     return module, module.feat_dim, kind

@@ -115,6 +115,7 @@ class ResNet3D(nn.Module):
     width: int = 64
     dtype: Any = jnp.bfloat16
     norm: str = "group"
+    remat: bool = False  # checkpoint each block (training memory)
 
     @property
     def feat_dim(self) -> int:
@@ -128,6 +129,7 @@ class ResNet3D(nn.Module):
         x = _norm(64, self.dtype, self.norm)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3, 3), (2, 2, 2), padding=PAD1)
+        block_cls = nn.remat(self.block) if self.remat else self.block
         for i, n_blocks in enumerate(self.layers):
             feats = self.width * (2 ** i)
             for j in range(n_blocks):
@@ -136,7 +138,7 @@ class ResNet3D(nn.Module):
                               norm=self.norm)
                 if issubclass(self.block, Bottleneck3D):
                     kwargs["groups"] = self.groups
-                x = self.block(**kwargs)(x)
+                x = block_cls(**kwargs)(x)
         x = jnp.mean(x, axis=(1, 2, 3))  # global avg pool over T, H, W
         return x.astype(jnp.float32)
 

@@ -82,6 +82,7 @@ class SlowFastR50(nn.Module):
     dtype: Any = jnp.bfloat16
     s2d_stem: bool = True
     norm: str = "group"  # "affine" = folded frozen-BN (see resnet3d._norm)
+    remat: bool = False  # checkpoint each bottleneck (training memory)
 
     @property
     def feat_dim(self) -> int:
@@ -126,15 +127,19 @@ class SlowFastR50(nn.Module):
             [slow, self._lateral(fast, 2 * wf).astype(slow.dtype)], axis=-1)
 
         # slow temporal kernels per stage: res2/res3 degenerate, res4/res5 = 3.
+        # nn.remat trades recompute for activation memory: the backward pass
+        # holds one bottleneck's activations at a time (SlowFast@224 grad
+        # step OOMs a 16 GB chip at 20 clips without it).
+        Block = nn.remat(SFBottleneck) if self.remat else SFBottleneck
         slow_t = (1, 1, 3, 3)
         for i, n_blocks in enumerate(self.layers):
             feats = w * (2 ** i)
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
-                slow = SFBottleneck(feats, slow_t[i], stride,
-                                    dtype=self.dtype, norm=self.norm)(slow)
-                fast = SFBottleneck(feats // BETA_INV, 3, stride,
-                                    dtype=self.dtype, norm=self.norm)(fast)
+                slow = Block(feats, slow_t[i], stride,
+                             dtype=self.dtype, norm=self.norm)(slow)
+                fast = Block(feats // BETA_INV, 3, stride,
+                             dtype=self.dtype, norm=self.norm)(fast)
             if i != len(self.layers) - 1:
                 lateral = self._lateral(fast, 2 * (feats // BETA_INV)
                                         * SFBottleneck.expansion)

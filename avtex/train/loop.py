@@ -129,8 +129,11 @@ def train_video(cfg: Config, frames: np.ndarray,
     """
     if cfg.model_type == 2 and audio_examples is None:
         raise TrainConfigError("model_type=2 requires audio examples")
+    # remat: checkpoint encoder blocks during training — the SlowFast@224
+    # grad step OOMs a 16 GB chip at 20 clips without it, and remat costs
+    # nothing on inference-only jits (no backward to rematerialize for).
     model = ContrastiveTextures(arch=cfg.enc_arch, model_type=cfg.model_type,
-                                temp=cfg.temp)
+                                temp=cfg.temp, remat=True)
     slowfast = cfg.enc_arch == "slowfast"
     train_stride = (cfg.train_stride if cfg.train_stride is not None
                     else cfg.stride)
