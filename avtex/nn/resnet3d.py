@@ -129,13 +129,19 @@ class ResNet3D(nn.Module):
         x = _norm(64, self.dtype, self.norm)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3, 3), (2, 2, 2), padding=PAD1)
+        # nn.remat changes the auto-generated module names; pin the plain
+        # class's names explicitly so remat (train) and non-remat
+        # (inference) checkpoints stay interchangeable.
         block_cls = nn.remat(self.block) if self.remat else self.block
+        idx = 0
         for i, n_blocks in enumerate(self.layers):
             feats = self.width * (2 ** i)
             for j in range(n_blocks):
                 stride = (2, 2, 2) if (i > 0 and j == 0) else (1, 1, 1)
                 kwargs = dict(features=feats, stride=stride, dtype=self.dtype,
-                              norm=self.norm)
+                              norm=self.norm,
+                              name=f"{self.block.__name__}_{idx}")
+                idx += 1
                 if issubclass(self.block, Bottleneck3D):
                     kwargs["groups"] = self.groups
                 x = block_cls(**kwargs)(x)

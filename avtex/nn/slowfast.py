@@ -129,17 +129,23 @@ class SlowFastR50(nn.Module):
         # slow temporal kernels per stage: res2/res3 degenerate, res4/res5 = 3.
         # nn.remat trades recompute for activation memory: the backward pass
         # holds one bottleneck's activations at a time (SlowFast@224 grad
-        # step OOMs a 16 GB chip at 20 clips without it).
+        # step OOMs a 16 GB chip at 20 clips without it). Names are pinned
+        # to the plain class's auto-names so remat (train) and non-remat
+        # (inference) checkpoints stay interchangeable.
         Block = nn.remat(SFBottleneck) if self.remat else SFBottleneck
+        block_idx = 0
         slow_t = (1, 1, 3, 3)
         for i, n_blocks in enumerate(self.layers):
             feats = w * (2 ** i)
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
                 slow = Block(feats, slow_t[i], stride,
-                             dtype=self.dtype, norm=self.norm)(slow)
+                             dtype=self.dtype, norm=self.norm,
+                             name=f"SFBottleneck_{block_idx}")(slow)
                 fast = Block(feats // BETA_INV, 3, stride,
-                             dtype=self.dtype, norm=self.norm)(fast)
+                             dtype=self.dtype, norm=self.norm,
+                             name=f"SFBottleneck_{block_idx + 1}")(fast)
+                block_idx += 2
             if i != len(self.layers) - 1:
                 lateral = self._lateral(fast, 2 * (feats // BETA_INV)
                                         * SFBottleneck.expansion)

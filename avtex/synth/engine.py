@@ -134,7 +134,15 @@ def synthesize_indices(q_table: jnp.ndarray, t_table: jnp.ndarray,
                        audio_logits: Optional[jnp.ndarray] = None,
                        seed_id: int = 10,
                        rng: Optional[jax.Array] = None) -> SynthesisResult:
-    """Run the full walk from precomputed embedding tables.
+    """Run the full walk from precomputed embedding tables (device scan).
+
+    When to use which walk (measured on v5e, steps=299, same process):
+    the host walk (synthesize_indices_host, the pipeline default) costs
+    43 ms at L=297 vs 151 ms here — per-step O(L) numpy beats a device
+    round trip at typical video lengths, with zero compile. This fused
+    lax.scan wins from roughly L >= 1k (L=2048: 152 ms vs 402 ms host)
+    and in warm serving processes where its one-time compile is already
+    paid and the [L, L] logit matrix should never leave the device.
 
     Args:
       q_table: [L, D] query-tower embeddings (L2-normalized).
