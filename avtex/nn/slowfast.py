@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .resnet3d import _norm
+from .resnet3d import Affine, _norm
 
 ALPHA = 4          # fast/slow frame-rate ratio
 BETA_INV = 8       # slow/fast channel ratio
@@ -35,35 +35,105 @@ FAST_FRAMES = 32
 SLOW_FRAMES = FAST_FRAMES // ALPHA
 
 
+class _ConvKernel(nn.Module):
+    """Param holder matching nn.Conv's tree (Conv_k/kernel) so the fused
+    Pallas path and the plain path share checkpoints. The method is ``get``
+    (not __call__) so capture_intermediates passes don't record the 5-D
+    kernel as an activation."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def get(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _AffineParams(nn.Module):
+    """Param holder matching Affine's tree (Affine_k/{scale,bias})."""
+
+    ch: int
+
+    @nn.compact
+    def get(self):
+        return (self.param("scale", nn.initializers.ones, (self.ch,),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.ch,),
+                           jnp.float32))
+
+
 class SFBottleneck(nn.Module):
-    """Bottleneck with the temporal kernel on the first 1x1 conv."""
+    """Bottleneck with the temporal kernel on the first 1x1 conv.
+
+    With ``norm="affine"`` and ``fuse`` (inference), the 1x1 convolutions
+    run through the fused Pallas kernel (avtex/ops/fused_matmul.py): the
+    folded-norm affine, the residual add and the final relu all happen in
+    the matmul's VMEM epilogue instead of separate XLA elementwise passes,
+    and small-channel contractions are G-folded onto full MXU lanes.
+    Module names are pinned so fused and plain checkpoints are one tree.
+    ``fuse`` must be False to take gradients (pallas_call has no VJP);
+    training uses norm="group" anyway.
+    """
 
     features: int
     t_kernel: int = 1
     spatial_stride: int = 1
     dtype: Any = jnp.bfloat16
     norm: str = "group"
+    fuse: Any = True       # True/"all" | "conv3" (output epilogue only) | False
     expansion = 4
 
     @nn.compact
     def __call__(self, x):
+        fuse = bool(self.fuse) and self.norm == "affine"
+        fuse_all = fuse and self.fuse in (True, "all")
         r = x
         s = (1, self.spatial_stride, self.spatial_stride)
         out_ch = self.features * self.expansion
-        y = nn.Conv(self.features, (self.t_kernel, 1, 1), padding="SAME",
-                    use_bias=False, dtype=self.dtype)(x)
-        y = _norm(self.features, self.dtype, self.norm)(y)
-        y = nn.relu(y)
-        y = nn.Conv(self.features, (1, 3, 3), s, padding="SAME",
-                    use_bias=False, dtype=self.dtype)(y)
-        y = _norm(self.features, self.dtype, self.norm)(y)
-        y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = _norm(out_ch, self.dtype, self.norm)(y)
-        if r.shape[-1] != out_ch or self.spatial_stride != 1:
-            r = nn.Conv(out_ch, (1, 1, 1), s, use_bias=False,
-                        dtype=self.dtype)(x)
-            r = _norm(out_ch, self.dtype, self.norm)(r)
+
+        def conv(idx, z, feats, kernel, strides=(1, 1, 1)):
+            return nn.Conv(feats, kernel, strides, padding="SAME",
+                           use_bias=False, dtype=self.dtype,
+                           name=f"Conv_{idx}")(z)
+
+        def norm(idx, ch):
+            if self.norm == "affine":
+                return Affine(ch, name=f"Affine_{idx}")
+            return nn.GroupNorm(num_groups=min(32, ch), dtype=jnp.float32,
+                                name=f"GroupNorm_{idx}")
+
+        def fused(idx, z, feats, residual=None, relu=True):
+            from avtex.ops.fused_matmul import fused_conv1x1
+            k = _ConvKernel((1, 1, 1, z.shape[-1], feats),
+                            name=f"Conv_{idx}").get()
+            sc, bi = _AffineParams(feats, name=f"Affine_{idx}").get()
+            return fused_conv1x1(z.astype(self.dtype), k[0, 0, 0], sc, bi,
+                                 residual=residual, relu=relu)
+
+        if fuse_all and self.t_kernel == 1:
+            y = fused(0, x, self.features)
+        else:
+            y = conv(0, x, self.features, (self.t_kernel, 1, 1))
+            y = nn.relu(norm(0, self.features)(y))
+        y = conv(1, y, self.features, (1, 3, 3), s)
+        y = nn.relu(norm(1, self.features)(y))
+        need_proj = r.shape[-1] != out_ch or self.spatial_stride != 1
+        if fuse:
+            if need_proj:
+                if fuse_all:
+                    xs = (x[:, :, ::self.spatial_stride,
+                            ::self.spatial_stride]
+                          if self.spatial_stride != 1 else x)
+                    r = fused(3, xs, out_ch, relu=False)
+                else:
+                    r = conv(3, x, out_ch, (1, 1, 1), s)
+                    r = norm(3, out_ch)(r)
+            return fused(2, y, out_ch, residual=r.astype(self.dtype))
+        y = conv(2, y, out_ch, (1, 1, 1))
+        y = norm(2, out_ch)(y)
+        if need_proj:
+            r = conv(3, x, out_ch, (1, 1, 1), s)
+            r = norm(3, out_ch)(r)
         return nn.relu(y + r.astype(y.dtype))
 
 
@@ -83,6 +153,15 @@ class SlowFastR50(nn.Module):
     s2d_stem: bool = True
     norm: str = "group"  # "affine" = folded frozen-BN (see resnet3d._norm)
     remat: bool = False  # checkpoint each bottleneck (training memory)
+    fuse: Any = False    # Pallas fused 1x1+affine+residual epilogues in
+                         # affine mode: "all"/True | "conv3" | False.
+                         # Default OFF: measured slower in-context (210 ->
+                         # 266-282 ms at batch 128) — XLA re-lays-out the
+                         # big activations around every custom call, which
+                         # costs more than the fused epilogues save. See
+                         # NOTES_r2 "Negative results". The kernel itself
+                         # is exact and fast standalone
+                         # (avtex/ops/fused_matmul.py, tests).
 
     @property
     def feat_dim(self) -> int:
@@ -141,9 +220,11 @@ class SlowFastR50(nn.Module):
                 stride = 2 if (i > 0 and j == 0) else 1
                 slow = Block(feats, slow_t[i], stride,
                              dtype=self.dtype, norm=self.norm,
+                             fuse=self.fuse,
                              name=f"SFBottleneck_{block_idx}")(slow)
                 fast = Block(feats // BETA_INV, 3, stride,
                              dtype=self.dtype, norm=self.norm,
+                             fuse=self.fuse,
                              name=f"SFBottleneck_{block_idx + 1}")(fast)
                 block_idx += 2
             if i != len(self.layers) - 1:
