@@ -1,0 +1,234 @@
+"""Whole-residual-stage fusion: N bottlenecks in ONE Pallas kernel.
+
+Round-2 measurement (NOTES_r2 "Negative result: per-op Pallas fusion"):
+inserting per-op Pallas kernels into the XLA conv graph loses — every
+custom-call boundary forces XLA to re-lay-out the big activations. The
+conclusion was that the fusion has to swallow a whole stage so no
+conv-layout boundary survives. This module does that for the spatial
+stages (t_kernel == 1): each grid step loads ONE (b, t) activation slice
+into VMEM and runs the entire stage — every 1x1 conv as a matmul, every
+3x3 conv via in-VMEM im2col, folded-norm affines, residual adds and relus
+all in registers — then writes the stage output once. HBM traffic per
+slice: one read of the input, one write of the output, plus the
+(VMEM-resident) weights.
+
+Semantics are exactly SFBottleneck with norm="affine"
+(avtex/nn/slowfast.py): conv1 1x1 -> affine -> relu -> conv2 3x3 (SAME,
+stride on block 0) -> affine -> relu -> conv3 1x1 -> affine -> +residual
+-> relu, with a projection shortcut (1x1 strided conv + affine) on block 0.
+A pure-jnp reference (`stage_reference`) mirrors the kernel for tests.
+
+Inference-only (no VJP), like everything in the affine configuration.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class BlockWeights(NamedTuple):
+    """One bottleneck's folded weights (all [K, N] matrices, bf16-ready)."""
+
+    w1: jnp.ndarray          # [C_in, F]
+    s1: jnp.ndarray          # [F] affine scale
+    b1: jnp.ndarray          # [F] affine bias
+    w2: jnp.ndarray          # [3, 3, F, F] spatial conv
+    s2: jnp.ndarray
+    b2: jnp.ndarray
+    w3: jnp.ndarray          # [F, C_out]
+    s3: jnp.ndarray
+    b3: jnp.ndarray
+    wp: Optional[jnp.ndarray]    # [C_in, C_out] projection (block 0) or None
+    sp: Optional[jnp.ndarray]
+    bp: Optional[jnp.ndarray]
+
+
+def _affine_relu(y, s, b, relu=True):
+    y = y * s + b
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def _mm(a, w):
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _block_body(v, blk: BlockWeights, stride: int):
+    """One bottleneck on a [H, W, C_in] slice -> [H/stride, W/stride, C_out].
+
+    Pure jnp on values — identical code runs inside the Pallas kernel (on
+    VMEM-loaded arrays) and as the XLA reference.
+    """
+    h, w, cin = v.shape
+    f = blk.w1.shape[1]
+    cout = blk.w3.shape[1]
+    ho, wo = h // stride, w // stride
+
+    y = _affine_relu(_mm(v.reshape(h * w, cin), blk.w1), blk.s1, blk.b1)
+    y = y.astype(jnp.bfloat16).reshape(h, w, f)
+
+    # 3x3 SAME conv via im2col in VMEM. Padding per torch/XLA SAME at
+    # stride 1 (pad 1 both sides); at stride 2 the avtex blocks use XLA
+    # "SAME" = pad (0, 1) (low 0, high 1) for even sizes.
+    pad_lo = 1 if stride == 1 else 0
+    pad_hi = 1
+    yp = jnp.pad(y, ((pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)))
+    taps = []
+    for dh in range(3):
+        for dw in range(3):
+            taps.append(jax.lax.slice(
+                yp, (dh, dw, 0),
+                (dh + (ho - 1) * stride + 1, dw + (wo - 1) * stride + 1, f),
+                (stride, stride, 1)))
+    patches = jnp.concatenate(taps, axis=-1)          # [ho, wo, 9F]
+    w2 = blk.w2.reshape(9 * f, f)
+    y = _affine_relu(_mm(patches.reshape(ho * wo, 9 * f), w2),
+                     blk.s2, blk.b2)
+    y = y.astype(jnp.bfloat16)
+
+    y = _mm(y, blk.w3) * blk.s3 + blk.b3              # [ho*wo, C_out]
+
+    if blk.wp is not None:
+        vs = v[::stride, ::stride].reshape(ho * wo, cin)
+        r = _affine_relu(_mm(vs, blk.wp), blk.sp, blk.bp, relu=False)
+    else:
+        r = v.reshape(ho * wo, cout).astype(jnp.float32)
+    return jnp.maximum(y + r, 0.0).astype(jnp.bfloat16).reshape(ho, wo, cout)
+
+
+def stage_reference(x: jnp.ndarray, blocks: Sequence[BlockWeights],
+                    stride: int) -> jnp.ndarray:
+    """XLA reference: vmapped block chain over the (b*t) axis."""
+
+    def slice_fn(v):
+        for i, blk in enumerate(blocks):
+            v = _block_body(v, blk, stride if i == 0 else 1)
+        return v
+
+    return jax.vmap(slice_fn)(x)
+
+
+def _stage_kernel(*refs, n_blocks: int, stride: int):
+    x_ref = refs[0]
+    out_ref = refs[-1]
+    w_refs = refs[1:-1]
+
+    v = x_ref[0]
+    i = 0
+    for b in range(n_blocks):
+        has_proj = b == 0
+        n_fields = 12 if has_proj else 9
+        fields = [r[:] for r in w_refs[i:i + n_fields]]
+        i += n_fields
+
+        # vectors arrive as [1, F]; w2 stays [9F, F] (reshape in the body
+        # is a no-op on it)
+        def vec(a):
+            return a[0]
+
+        if has_proj:
+            (w1, s1, b1, w2, s2, b2, w3, s3, b3, wp, sp, bp) = fields
+            blk = BlockWeights(w1, vec(s1), vec(b1), w2,
+                               vec(s2), vec(b2), w3, vec(s3), vec(b3),
+                               wp, vec(sp), vec(bp))
+        else:
+            (w1, s1, b1, w2, s2, b2, w3, s3, b3) = fields
+            blk = BlockWeights(w1, vec(s1), vec(b1), w2,
+                               vec(s2), vec(b2), w3, vec(s3), vec(b3),
+                               None, None, None)
+        v = _block_body(v, blk, stride if b == 0 else 1)
+    out_ref[0] = v
+
+
+def stage_weights_from_params(params, block_indices: Sequence[int]
+                              ) -> List[BlockWeights]:
+    """Extract a slow-pathway stage's BlockWeights from SlowFastR50 params.
+
+    ``block_indices``: the SFBottleneck_{i} indices of the stage's blocks in
+    order (slow blocks are even: res2 = [0, 2, 4], res3 = [6, 8, 10, 12] —
+    see SlowFastR50.__call__'s interleaved numbering). Only t_kernel == 1
+    blocks qualify (conv1 kernels must be [1,1,1,Cin,F]).
+    """
+    tree = params.get("params", params)
+    blocks = []
+    for j, idx in enumerate(block_indices):
+        p = tree[f"SFBottleneck_{idx}"]
+        w1 = p["Conv_0"]["kernel"]
+        if w1.shape[0] != 1:
+            raise ValueError(
+                f"SFBottleneck_{idx} has a temporal conv1 "
+                f"(kernel {w1.shape}); stage fusion needs t_kernel == 1")
+        w2 = p["Conv_1"]["kernel"]          # [1, 3, 3, F, F]
+        w3 = p["Conv_2"]["kernel"]          # [1, 1, 1, F, Cout]
+        has_proj = "Conv_3" in p
+        if (j == 0) != has_proj:
+            raise ValueError(f"SFBottleneck_{idx}: projection expected only "
+                             "on the stage's first block")
+        blocks.append(BlockWeights(
+            w1=w1[0, 0, 0], s1=p["Affine_0"]["scale"],
+            b1=p["Affine_0"]["bias"],
+            w2=w2[0], s2=p["Affine_1"]["scale"], b2=p["Affine_1"]["bias"],
+            w3=w3[0, 0, 0], s3=p["Affine_2"]["scale"],
+            b3=p["Affine_2"]["bias"],
+            wp=p["Conv_3"]["kernel"][0, 0, 0] if has_proj else None,
+            sp=p["Affine_3"]["scale"] if has_proj else None,
+            bp=p["Affine_3"]["bias"] if has_proj else None))
+    return blocks
+
+
+def fused_stage(x: jnp.ndarray, blocks: Sequence[BlockWeights],
+                stride: int = 1, interpret: bool = False) -> jnp.ndarray:
+    """Run a whole bottleneck stage on [BT, H, W, C_in] -> [BT, Ho, Wo, C_out].
+
+    One grid step per (b*t) slice; the full stage runs in VMEM.
+    """
+    bt, h, w, cin = x.shape
+    ho, wo = h // stride, w // stride
+    cout = blocks[0].w3.shape[1]
+
+    operands = [x.astype(jnp.bfloat16)]
+    in_specs = [pl.BlockSpec((1, h, w, cin), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+
+    def add_w(a):
+        a = a.astype(jnp.bfloat16) if a.ndim >= 2 else \
+            a.astype(jnp.float32)[None, :]
+        if a.ndim == 4:  # [3,3,F,F] -> [9F, F]
+            a = a.reshape(-1, a.shape[-1])
+        operands.append(a)
+        shp = a.shape
+        in_specs.append(pl.BlockSpec(
+            shp, (lambda b, n=len(shp): (0,) * n),
+            memory_space=pltpu.VMEM))
+
+    for i, blk in enumerate(blocks):
+        fields = [blk.w1, blk.s1, blk.b1, blk.w2, blk.s2, blk.b2,
+                  blk.w3, blk.s3, blk.b3]
+        if i == 0:
+            assert blk.wp is not None, "block 0 must carry the projection"
+            fields += [blk.wp, blk.sp, blk.bp]
+        else:
+            assert blk.wp is None
+        for a in fields:
+            add_w(a)
+
+    kernel = functools.partial(_stage_kernel, n_blocks=len(blocks),
+                               stride=stride)
+    return pl.pallas_call(
+        kernel,
+        grid=(bt,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, ho, wo, cout), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bt, ho, wo, cout), jnp.bfloat16),
+        interpret=interpret,
+    )(*operands)
