@@ -114,7 +114,8 @@ def create_state(model: ContrastiveTextures, cfg: Config,
 def train_video(cfg: Config, frames: np.ndarray,
                 audio_examples: Optional[np.ndarray] = None,
                 logger=None, epochs: Optional[int] = None,
-                log_every: int = 10, resume: Optional[str] = None,
+                log_every: Optional[int] = None,
+                resume: Optional[str] = None,
                 ckpt_dir: Optional[str] = None,
                 ckpt_name: Optional[str] = None
                 ) -> Tuple[train_state.TrainState, List[float]]:
@@ -165,13 +166,18 @@ def train_video(cfg: Config, frames: np.ndarray,
         raise TrainConfigError("ckpt_dir requires ckpt_name")
     step_fn = make_train_step(model, tx, cfg.img_size, slowfast)
     rng_base = jax.random.key(cfg.seed + 1)
+    if log_every is None:
+        log_every = cfg.log_freq  # -lf (reference: train.py:166)
 
     history: List[float] = []
     n_epochs = epochs if epochs is not None else cfg.epochs
     global_step = start_epoch * len(data)
     for epoch in range(start_epoch, n_epochs):
         meter = AverageMeter()
+        batch_meter = AverageMeter()
         t0 = time.perf_counter()
+        t_step = t0
+        epoch_i = 0
         # Counter-based RNG (fold_in per step) + epoch-seeded data order: a
         # resumed run replays the exact uninterrupted stream.
         # cfg.workers (-j) sets prefetch depth; 0 keeps double-buffering.
@@ -180,6 +186,13 @@ def train_video(cfg: Config, frames: np.ndarray,
             state, metrics = step_fn(state, batch, krng)
             loss = float(metrics["loss"])
             meter.update(loss, len(batch["q_ids"]))
+            batch_meter.update(time.perf_counter() - t_step)
+            t_step = time.perf_counter()
+            if epoch_i % cfg.print_freq == 0:  # reference: train.py:150-163
+                print(f"Epoch: [{epoch}][{epoch_i}/{len(data)}]\t"
+                      f"Time {batch_meter.val:.3f} ({batch_meter.avg:.3f})\t"
+                      f"Loss {loss:.4f} ({meter.avg:.4f})")
+            epoch_i += 1
             if logger is not None and global_step % log_every == 0:
                 logger.log_scalar(loss, "train/iter_loss", global_step)
                 logger.log_scalar(float(metrics["acc"]), "train/iter_acc",
