@@ -100,6 +100,12 @@ def run_classic(cfg: ClassicConfig, video_path: str,
             # (reference: video_textures.py:52-129)
             fn = interp_fn
             if fn is None:
+                # pretrained SuperSloMo when the checkpoint exists
+                # (reference: classic interpolate.py:54-159), else the
+                # native crossfade
+                from avtex.utils.convert import maybe_make_slomo_interp_fn
+                fn = maybe_make_slomo_interp_fn(size=frames.shape[1:3])
+            if fn is None:
                 from avtex.native import stitch as native_stitch
                 fn = native_stitch.crossfade
             frames_intp = classic_interp_track(frames, walk, cfg.SF, fn,

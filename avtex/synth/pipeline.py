@@ -200,6 +200,11 @@ def synthesize(cfg: Config, video_path: str, params,
     timings["walk_s"] = t.elapsed
 
     # ---- stitch + outputs ----------------------------------------------- #
+    if interp_fn is None and cfg.interpolation:
+        # Pretrained SuperSloMo when the checkpoint exists (the reference
+        # always loads it, validate.py:183-185); crossfade otherwise.
+        from avtex.utils.convert import maybe_make_slomo_interp_fn
+        interp_fn = maybe_make_slomo_interp_fn(size=video.shape[1:3])
     with Timer() as t:
         stitched = stitch_texture(
             video, result.indices, W, S, sf=cfg.SF,

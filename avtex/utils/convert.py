@@ -299,6 +299,36 @@ def maybe_load_vggish_into_model(model_params, path: str = None, *,
     return (freeze(tree) if frozen else tree), True
 
 
+def find_slomo_checkpoint(explicit: str = None) -> str:
+    """Locate SuperSloMo.ckpt: explicit path, $AVTEX_SLOMO_CKPT, or the
+    reference's conventional locations (validate.py:183-185 loads
+    ``pretrained/SuperSloMo.ckpt``). Returns None if absent."""
+    import os
+    for cand in (explicit, os.environ.get("AVTEX_SLOMO_CKPT"),
+                 "pretrained/SuperSloMo.ckpt", "SuperSloMo.ckpt"):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+def maybe_make_slomo_interp_fn(path: str = None, size=(224, 224)):
+    """interp_fn from a pretrained SuperSloMo checkpoint, or None.
+
+    The reference runs SuperSloMo at every jump (validate.py:183-185,
+    :587-613); without the (unshipped) checkpoint avtex stitches with the
+    native crossfade instead — random SloMo weights would look worse than
+    crossfade, so unlike VGGish this does not fall back to random init.
+    """
+    found = find_slomo_checkpoint(path)
+    if found is None:
+        return None
+    from avtex.synth.interp import init_slomo, make_interp_fn
+    module, params = init_slomo(size=size)
+    params = convert_slomo(load_torch_state(found), params)
+    print(f"[avtex] loaded pretrained SuperSloMo weights from {found}")
+    return make_interp_fn(module, params)
+
+
 def find_encoder_checkpoint(arch: str, explicit: str = None) -> str:
     """Locate a pretrained encoder checkpoint: explicit path,
     $AVTEX_ENCODER_CKPT, or the reference's conventional filenames

@@ -207,3 +207,50 @@ def test_host_walk_matches_device_greedy(tables):
     np.testing.assert_array_equal(dev.jumps, host.jumps)
     np.testing.assert_array_equal(dev.nonzero_counts, host.nonzero_counts)
     np.testing.assert_allclose(dev.entropies, host.entropies, atol=1e-4)
+
+
+def test_slomo_checkpoint_autoload(tmp_path, monkeypatch):
+    """maybe_make_slomo_interp_fn: finds SuperSloMo.ckpt via env var,
+    converts it into the flax nets, and yields a working interp_fn; with
+    no checkpoint it returns None (crossfade fallback, since random SloMo
+    weights would be worse than crossfade)."""
+    import torch
+
+    from avtex.synth.interp import init_slomo
+    from avtex.utils.convert import maybe_make_slomo_interp_fn
+
+    monkeypatch.chdir(tmp_path)
+    assert maybe_make_slomo_interp_fn() is None
+
+    # synthesize a torch state dict with exactly the flax nets' conv
+    # shapes in declaration order (what convert_slomo pairs on)
+    import jax
+    _, params = init_slomo(size=(32, 32))
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    mods = {}
+    for path, leaf in flat:
+        keys = [str(getattr(p, "key", p)) for p in path]
+        mods.setdefault("/".join(keys[:-1]), {})[keys[-1]] = leaf
+    state = {}
+    i = 0
+    for mod, d in mods.items():
+        k = d.get("kernel")
+        if k is None or k.ndim != 4:
+            continue
+        w = np.transpose(np.asarray(k), (3, 2, 0, 1))  # flax -> torch
+        state[f"m.{i}.weight"] = torch.tensor(
+            np.random.default_rng(i).standard_normal(w.shape)
+            .astype(np.float32) * 0.05)
+        if "bias" in d:
+            state[f"m.{i}.bias"] = torch.tensor(
+                np.zeros(k.shape[-1], np.float32))
+        i += 1
+    torch.save(state, tmp_path / "SuperSloMo.ckpt")
+    monkeypatch.setenv("AVTEX_SLOMO_CKPT", str(tmp_path / "SuperSloMo.ckpt"))
+
+    fn = maybe_make_slomo_interp_fn(size=(32, 32))
+    assert fn is not None
+    f0 = np.zeros((32, 32, 3), np.uint8)
+    f1 = np.full((32, 32, 3), 200, np.uint8)
+    mids = fn(f0, f1, 2)
+    assert mids.shape == (2, 32, 32, 3) and mids.dtype == np.uint8
