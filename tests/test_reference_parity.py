@@ -433,3 +433,50 @@ def test_batching_utils_match_reference():
     back = combine_batches(ours, 13)
     ref_back = ref.combine_batches(theirs, 13)
     np.testing.assert_array_equal(back, ref_back.numpy())
+
+
+def test_bn_folded_resnet2d_matches_reference_net():
+    """The 2D path of the same story: the reference's vendored torchvision
+    ResNet-18 (models/resnet.py, random weights + random BN stats, eval,
+    fc stripped like the classic baseline does at computeD1.py:101-103)
+    vs avtex resnet2d18 with norm='affine' after convert_bn_folded."""
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_r2d", "/root/reference/contrastive_video_textures/models/"
+        "resnet.py")
+    ref_r2d = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_r2d)
+
+    torch.manual_seed(0)
+    net = ref_r2d.resnet18(pretrained=False)
+    g = torch.Generator().manual_seed(2)
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.weight.data = torch.rand(m.weight.shape, generator=g) + 0.5
+            m.bias.data = torch.randn(m.bias.shape, generator=g) * 0.1
+            m.running_mean = torch.randn(m.running_mean.shape, generator=g)
+            m.running_var = torch.rand(m.running_var.shape, generator=g) + 0.5
+    net.eval()
+
+    x = torch.randn(2, 3, 64, 64, generator=g)
+    with torch.no_grad():
+        feats = net.avgpool(  # penultimate features, fc stripped
+            torch.nn.Sequential(*list(net.children())[:-2])(x))
+        ref_out = feats.reshape(2, -1).numpy()
+
+    from avtex.nn.resnet2d import resnet2d18
+    from avtex.utils.convert import convert_bn_folded
+
+    m = resnet2d18(dtype=jnp.float32, norm="affine")
+    xa = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    params = jax.jit(m.init)(jax.random.key(0), xa)
+    state = {k: v.numpy() for k, v in net.state_dict().items()
+             if hasattr(v, "numpy") and not k.startswith("fc.")}
+    params = convert_bn_folded(state, m, params, xa)
+    ours = np.asarray(jax.jit(m.apply)(params, xa))
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-3, atol=1e-4)
