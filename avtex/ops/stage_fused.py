@@ -77,27 +77,40 @@ def _block_body(v, blk: BlockWeights, stride: int):
 
     # 3x3 SAME conv via im2col in VMEM. Padding per torch/XLA SAME at
     # stride 1 (pad 1 both sides); at stride 2 the avtex blocks use XLA
-    # "SAME" = pad (0, 1) (low 0, high 1) for even sizes.
+    # "SAME" = pad (0, 1) (low 0, high 1) for even sizes — padded one
+    # extra on the high side so the decimating reshape below stays in
+    # bounds (the extra row/col only lands in discarded phases).
+    # Mosaic cannot lower strided slices (>2D gather), so stride-2 taps
+    # slice contiguously then decimate via reshape + phase-0 indexing.
     pad_lo = 1 if stride == 1 else 0
-    pad_hi = 1
+    pad_hi = 1 if stride == 1 else 2
     yp = jnp.pad(y, ((pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)))
-    taps = []
+
+    def tap(dh, dw):
+        t = jax.lax.slice(yp, (dh, dw, 0),
+                          (dh + ho * stride, dw + wo * stride, f))
+        if stride == 1:
+            return t
+        return t.reshape(ho, stride, wo, stride, f)[:, 0, :, 0, :]
+
+    # Tap-wise accumulation (Mosaic cannot concat vectors whose sublane
+    # offsets differ, which the shifted taps do): nine [ho*wo, F] x [F, F]
+    # matmuls summed in fp32 — same arithmetic as the single im2col
+    # matmul, K = F >= 128 on the slow tower keeps the MXU rows full.
+    w2 = blk.w2.reshape(3, 3, f, f)
+    acc = None
     for dh in range(3):
         for dw in range(3):
-            taps.append(jax.lax.slice(
-                yp, (dh, dw, 0),
-                (dh + (ho - 1) * stride + 1, dw + (wo - 1) * stride + 1, f),
-                (stride, stride, 1)))
-    patches = jnp.concatenate(taps, axis=-1)          # [ho, wo, 9F]
-    w2 = blk.w2.reshape(9 * f, f)
-    y = _affine_relu(_mm(patches.reshape(ho * wo, 9 * f), w2),
-                     blk.s2, blk.b2)
+            part = _mm(tap(dh, dw).reshape(ho * wo, f), w2[dh, dw])
+            acc = part if acc is None else acc + part
+    y = _affine_relu(acc, blk.s2, blk.b2)
     y = y.astype(jnp.bfloat16)
 
     y = _mm(y, blk.w3) * blk.s3 + blk.b3              # [ho*wo, C_out]
 
     if blk.wp is not None:
-        vs = v[::stride, ::stride].reshape(ho * wo, cin)
+        vs = (v.reshape(ho, stride, wo, stride, cin)[:, 0, :, 0, :]
+              if stride > 1 else v).reshape(ho * wo, cin)
         r = _affine_relu(_mm(vs, blk.wp), blk.sp, blk.bp, relu=False)
     else:
         r = v.reshape(ho * wo, cout).astype(jnp.float32)
@@ -116,12 +129,16 @@ def stage_reference(x: jnp.ndarray, blocks: Sequence[BlockWeights],
     return jax.vmap(slice_fn)(x)
 
 
-def _stage_kernel(*refs, n_blocks: int, stride: int):
+def _stage_kernel(*refs, n_blocks: int, stride: int, k: int = 1):
     x_ref = refs[0]
     out_ref = refs[-1]
     w_refs = refs[1:-1]
 
-    v = x_ref[0]
+    kh, kw, kc = x_ref.shape[1:]
+    # fold the k slices into the row dim: [k, H, W, C] -> [k*H, W, C]
+    # (the 3x3 im2col pads per slice inside _block_body only when k == 1;
+    # for k > 1 the fold is exact because _block_body pads rows — guard)
+    v = x_ref[...].reshape(k * kh, kw, kc) if False else x_ref[...]
     i = 0
     for b in range(n_blocks):
         has_proj = b == 0
@@ -144,8 +161,13 @@ def _stage_kernel(*refs, n_blocks: int, stride: int):
             blk = BlockWeights(w1, vec(s1), vec(b1), w2,
                                vec(s2), vec(b2), w3, vec(s3), vec(b3),
                                None, None, None)
-        v = _block_body(v, blk, stride if b == 0 else 1)
-    out_ref[0] = v
+        if k == 1:
+            v = _block_body(v[0], blk, stride if b == 0 else 1)[None]
+        else:
+            v = jnp.stack([
+                _block_body(v[j], blk, stride if b == 0 else 1)
+                for j in range(k)])
+    out_ref[...] = v
 
 
 def stage_weights_from_params(params, block_indices: Sequence[int]
@@ -185,17 +207,21 @@ def stage_weights_from_params(params, block_indices: Sequence[int]
 
 
 def fused_stage(x: jnp.ndarray, blocks: Sequence[BlockWeights],
-                stride: int = 1, interpret: bool = False) -> jnp.ndarray:
+                stride: int = 1, interpret: bool = False,
+                slices_per_step: int = 1) -> jnp.ndarray:
     """Run a whole bottleneck stage on [BT, H, W, C_in] -> [BT, Ho, Wo, C_out].
 
-    One grid step per (b*t) slice; the full stage runs in VMEM.
+    ``slices_per_step`` (b*t) slices per grid step; the full stage runs in
+    VMEM (bigger steps amortize per-step overhead at the cost of VMEM).
     """
     bt, h, w, cin = x.shape
     ho, wo = h // stride, w // stride
     cout = blocks[0].w3.shape[1]
+    k = slices_per_step
+    assert bt % k == 0
 
     operands = [x.astype(jnp.bfloat16)]
-    in_specs = [pl.BlockSpec((1, h, w, cin), lambda b: (b, 0, 0, 0),
+    in_specs = [pl.BlockSpec((k, h, w, cin), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
 
     def add_w(a):
@@ -221,13 +247,17 @@ def fused_stage(x: jnp.ndarray, blocks: Sequence[BlockWeights],
             add_w(a)
 
     kernel = functools.partial(_stage_kernel, n_blocks=len(blocks),
-                               stride=stride)
+                               stride=stride, k=k)
     return pl.pallas_call(
         kernel,
-        grid=(bt,),
+        grid=(bt // k,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ho, wo, cout), lambda b: (b, 0, 0, 0),
+        out_specs=pl.BlockSpec((k, ho, wo, cout), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bt, ho, wo, cout), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            # the whole stage's weights + one slice's activations exceed
+            # the conservative 16M default scoped limit by ~10%
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
