@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-SF", type=int, default=5)
     p.add_argument("-nintp", dest="interpolation", action="store_false")
     p.add_argument("-fb", "--frames_bar", action="store_true")
+    p.add_argument("-norm", choices=["group", "affine"], default="group",
+                   help="encoder norm: group (training) or affine (folded "
+                        "frozen-BN inference, e.g. imported checkpoints)")
     p.add_argument("-vcam", action="store_true",
                    help="write CAM overlay videos (reference validate.py"
                         ":745-778; its own flag is undefined as shipped)")
@@ -102,7 +105,7 @@ def args_to_config(args: argparse.Namespace):
         fps_override=args.fps,
         n_negs=args.n_negs, new_video_length=args.new_video_length,
         alpha=args.alpha, interpolation=args.interpolation, SF=args.SF,
-        frames_bar=args.frames_bar, vcam=args.vcam,
+        frames_bar=args.frames_bar, vcam=args.vcam, norm=args.norm,
         driving_audio=args.driving_audio,
         da_feats=args.da_feats, seed=args.seed, epochs=args.epochs,
         batch_size=args.batch_size, mini_batchsize=args.mini_batchsize,

@@ -53,6 +53,10 @@ class Config:
     interpolation: bool = True          # -nintp stores False
     SF: int = 5                         # -SF: SuperSloMo factor at jumps
     frames_bar: bool = False            # -fb: burn red position bar into frames
+    norm: str = "group"                 # -norm: encoder norm ("group" for
+                                        # training; "affine" = folded
+                                        # frozen-BN for pretrained imports,
+                                        # avtex extension)
     vcam: bool = False                  # -vcam: CAM overlay videos (the
                                         # reference reads args.vcam but never
                                         # defines the flag — validate.py:299

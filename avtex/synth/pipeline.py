@@ -68,24 +68,9 @@ def synthesize(cfg: Config, video_path: str, params,
         driving_examples = np.asarray(waveform_to_examples(driving, d_sr))
 
     model = ContrastiveTextures(arch=cfg.enc_arch, model_type=cfg.model_type,
-                                temp=cfg.temp)
+                                temp=cfg.temp, norm=cfg.norm)
     if params is None:  # random-init fallback (no checkpoint supplied)
-        from avtex.data.preprocess import preprocess_clip
-        dummy = jnp.zeros((1, W) + video.shape[1:3] + (3,), jnp.uint8)
-        x = preprocess_clip(dummy, size=cfg.img_size,
-                            slowfast=cfg.enc_arch == "slowfast")
-        if cfg.enc_arch == "slowfast":
-            from avtex.nn.slowfast import slowfast_pathways
-            x = slowfast_pathways(x)
-        t_in = (tuple(p[:, None] for p in x) if isinstance(x, tuple)
-                else x[:, None])
-        qa = jnp.zeros((1, 100, 64)) if cfg.model_type == 2 else None
-        ta = jnp.zeros((1, 1, 100, 64)) if cfg.model_type == 2 else None
-        params = jax.jit(model.init)(jax.random.key(cfg.seed), x, t_in, qa, ta)
-        if cfg.model_type == 2:
-            from avtex.utils.convert import maybe_load_vggish_into_model
-            params, _ = maybe_load_vggish_into_model(
-                params, context="model_type=2 synthesis (random init)")
+        params = init_params_for_synthesis(cfg, model, video, W)
 
     # ---- embed once ---------------------------------------------------- #
     with Timer() as t:
@@ -114,72 +99,11 @@ def synthesize(cfg: Config, video_path: str, params,
     # ---- driving-audio rows -------------------------------------------- #
     audio_logits = None
     seed_id = min(cfg.start_segment, L - 1)
-    if driving_examples is not None and cfg.da_feats == "Contrastive":
-        # audio->video retrieval head (reference: validate.py:268-296)
-        from avtex.contrastive.audio_retrieval import (VideoForAudio,
-                                                       video_for_audio_logits)
-        from avtex.data.preprocess import preprocess_clip
-        vfa = VideoForAudio(arch=cfg.enc_arch if cfg.enc_arch != "slowfast"
-                            else "resnet18", temp=cfg.temp)
-        windows = gather_windows(video, W, S, "val")
-        x0 = preprocess_clip(jnp.asarray(windows[:1]), size=cfg.img_size)
-        vfa_params = jax.jit(vfa.init)(jax.random.key(cfg.seed), jnp.zeros((1, 100, 64)),
-                              x0[:, None])
-        if cfg.daf_resume:
-            from avtex.train.checkpoint import restore_checkpoint
-            payload = restore_checkpoint(cfg.daf_resume[0], vfa_params)
-            if payload is not None:
-                vfa_params = payload["state"]
-
-        @jax.jit
-        def embed_v(p, frames):
-            xx = preprocess_clip(frames, size=cfg.img_size)
-            return vfa.apply(p, xx, method=vfa.embed_video)
-
-        tables = []
-        bsz = max(cfg.mini_batchsize, 1)
-        for b0 in range(0, L, bsz):
-            chunk = windows[b0:b0 + bsz]
-            pad = bsz - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            emb = embed_v(vfa_params, jnp.asarray(chunk))
-            tables.append(emb[:bsz - pad] if pad else emb)
-        v_table = jnp.concatenate(tables)
-        steps_ids = np.minimum(np.arange(steps), len(driving_examples) - 1)
-        audio_logits = video_for_audio_logits(
-            vfa, vfa_params, driving_examples[steps_ids], v_table, cfg.temp)
-        if audio_examples is not None:
-            seed_id = min(seed_segment(jnp.asarray(audio_examples),
-                                       jnp.asarray(driving_examples[0])),
-                          L - 1)
-    elif driving_examples is not None and audio_examples is not None:
-        if cfg.da_feats == "Mel":
-            src = jnp.asarray(audio_examples.reshape(len(audio_examples), -1))
-            drv = jnp.asarray(
-                driving_examples.reshape(len(driving_examples), -1))
-        else:  # "VGG" (default): raw VGGish conv features
-            from avtex.nn.vggish import VGGish
-            from avtex.utils.convert import maybe_load_vggish
-            vg = VGGish()
-            vparams = jax.jit(vg.init)(jax.random.key(0),
-                              jnp.zeros((1,) + audio_examples.shape[1:]))
-            # reference always scores with pretrained VGGish (main.py:338);
-            # warns loudly if no checkpoint is available.
-            vparams, _ = maybe_load_vggish(vparams,
-                                           context="-daf VGG scoring")
-            src = vggish_audio_features(vg, vparams, audio_examples)
-            drv = vggish_audio_features(vg, vparams, driving_examples)
-        # one row per step; segment ids past the end clip to the last row
-        ids = np.minimum(np.arange(steps), len(driving_examples) - 1)
-        # source rows must align to segment ids (clip like validate.py:345)
-        seg_ids = np.minimum(np.arange(L), len(audio_examples) - 1)
-        rows = driving_audio_logits(src[jnp.asarray(seg_ids)],
-                                    drv[jnp.asarray(ids)], cfg.temp)
-        audio_logits = rows
-        seed_id = seed_segment(jnp.asarray(audio_examples),
-                               jnp.asarray(driving_examples[0]))
-        seed_id = min(seed_id, L - 1)
+    if driving_examples is not None:
+        audio_logits, sid = driving_audio_rows(
+            cfg, video, audio_examples, driving_examples, steps, L, W, S)
+        if sid is not None:
+            seed_id = sid
 
     # ---- the walk ------------------------------------------------------- #
     # Host walk by default: same semantics, zero compile cost per new
@@ -307,3 +231,106 @@ def synthesize(cfg: Config, video_path: str, params,
         "window": W,
         "stride": S,
     }
+
+
+def init_params_for_synthesis(cfg: Config, model, video, window: int):
+    """Random-init params shaped for synthesis (no checkpoint supplied);
+    model_type=2 grafts pretrained VGGish when the file exists
+    (reference: main.py:338)."""
+    from avtex.data.preprocess import preprocess_clip
+    dummy = jnp.zeros((1, window) + video.shape[1:3] + (3,), jnp.uint8)
+    x = preprocess_clip(dummy, size=cfg.img_size,
+                        slowfast=cfg.enc_arch == "slowfast")
+    if cfg.enc_arch == "slowfast":
+        from avtex.nn.slowfast import slowfast_pathways
+        x = slowfast_pathways(x)
+    t_in = (tuple(p[:, None] for p in x) if isinstance(x, tuple)
+            else x[:, None])
+    qa = jnp.zeros((1, 100, 64)) if cfg.model_type == 2 else None
+    ta = jnp.zeros((1, 1, 100, 64)) if cfg.model_type == 2 else None
+    params = jax.jit(model.init)(jax.random.key(cfg.seed), x, t_in, qa, ta)
+    if cfg.model_type == 2:
+        from avtex.utils.convert import maybe_load_vggish_into_model
+        params, _ = maybe_load_vggish_into_model(
+            params, context="model_type=2 synthesis (random init)")
+    return params
+
+
+def driving_audio_rows(cfg: Config, video, audio_examples, driving_examples,
+                       steps: int, L: int, W: int, S: int):
+    """Per-step driving-audio logit rows + optional audio-derived seed.
+
+    The three ``-daf`` modes of the reference (validate.py:260-296,
+    models.py:420-462): "Contrastive" (VideoForAudio retrieval head),
+    "VGG" (pretrained VGGish features — the reference default), "Mel"
+    (raw flattened log-mel examples).
+
+    Returns (audio_logits [steps, L] or None, seed_id or None).
+    """
+    audio_logits = None
+    seed_id = None
+    if cfg.da_feats == "Contrastive":
+        # audio->video retrieval head (reference: validate.py:268-296)
+        from avtex.contrastive.audio_retrieval import (VideoForAudio,
+                                                       video_for_audio_logits)
+        from avtex.data.preprocess import preprocess_clip
+        vfa = VideoForAudio(arch=cfg.enc_arch if cfg.enc_arch != "slowfast"
+                            else "resnet18", temp=cfg.temp)
+        windows = gather_windows(video, W, S, "val")
+        x0 = preprocess_clip(jnp.asarray(windows[:1]), size=cfg.img_size)
+        vfa_params = jax.jit(vfa.init)(jax.random.key(cfg.seed),
+                                       jnp.zeros((1, 100, 64)), x0[:, None])
+        if cfg.daf_resume:
+            from avtex.train.checkpoint import restore_checkpoint
+            payload = restore_checkpoint(cfg.daf_resume[0], vfa_params)
+            if payload is not None:
+                vfa_params = payload["state"]
+
+        @jax.jit
+        def embed_v(p, frames):
+            xx = preprocess_clip(frames, size=cfg.img_size)
+            return vfa.apply(p, xx, method=vfa.embed_video)
+
+        tables = []
+        bsz = max(cfg.mini_batchsize, 1)
+        for b0 in range(0, L, bsz):
+            chunk = windows[b0:b0 + bsz]
+            pad = bsz - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            emb = embed_v(vfa_params, jnp.asarray(chunk))
+            tables.append(emb[:bsz - pad] if pad else emb)
+        v_table = jnp.concatenate(tables)
+        steps_ids = np.minimum(np.arange(steps), len(driving_examples) - 1)
+        audio_logits = video_for_audio_logits(
+            vfa, vfa_params, driving_examples[steps_ids], v_table, cfg.temp)
+        if audio_examples is not None:
+            seed_id = min(seed_segment(jnp.asarray(audio_examples),
+                                       jnp.asarray(driving_examples[0])),
+                          L - 1)
+    elif audio_examples is not None:
+        if cfg.da_feats == "Mel":
+            src = jnp.asarray(audio_examples.reshape(len(audio_examples), -1))
+            drv = jnp.asarray(
+                driving_examples.reshape(len(driving_examples), -1))
+        else:  # "VGG" (default): raw VGGish conv features
+            from avtex.nn.vggish import VGGish
+            from avtex.utils.convert import maybe_load_vggish
+            vg = VGGish()
+            vparams = jax.jit(vg.init)(
+                jax.random.key(0), jnp.zeros((1,) + audio_examples.shape[1:]))
+            # reference always scores with pretrained VGGish (main.py:338);
+            # warns loudly if no checkpoint is available.
+            vparams, _ = maybe_load_vggish(vparams,
+                                           context="-daf VGG scoring")
+            src = vggish_audio_features(vg, vparams, audio_examples)
+            drv = vggish_audio_features(vg, vparams, driving_examples)
+        # one row per step; segment ids past the end clip to the last row
+        ids = np.minimum(np.arange(steps), len(driving_examples) - 1)
+        # source rows must align to segment ids (clip like validate.py:345)
+        seg_ids = np.minimum(np.arange(L), len(audio_examples) - 1)
+        audio_logits = driving_audio_logits(src[jnp.asarray(seg_ids)],
+                                            drv[jnp.asarray(ids)], cfg.temp)
+        seed_id = min(seed_segment(jnp.asarray(audio_examples),
+                                   jnp.asarray(driving_examples[0])), L - 1)
+    return audio_logits, seed_id
