@@ -134,11 +134,7 @@ def _stage_kernel(*refs, n_blocks: int, stride: int, k: int = 1):
     out_ref = refs[-1]
     w_refs = refs[1:-1]
 
-    kh, kw, kc = x_ref.shape[1:]
-    # fold the k slices into the row dim: [k, H, W, C] -> [k*H, W, C]
-    # (the 3x3 im2col pads per slice inside _block_body only when k == 1;
-    # for k > 1 the fold is exact because _block_body pads rows — guard)
-    v = x_ref[...].reshape(k * kh, kw, kc) if False else x_ref[...]
+    v = x_ref[...]
     i = 0
     for b in range(n_blocks):
         has_proj = b == 0
