@@ -208,7 +208,9 @@ def fused_stage(x: jnp.ndarray, blocks: Sequence[BlockWeights],
     """Run a whole bottleneck stage on [BT, H, W, C_in] -> [BT, Ho, Wo, C_out].
 
     ``slices_per_step`` (b*t) slices per grid step; the full stage runs in
-    VMEM (bigger steps amortize per-step overhead at the cost of VMEM).
+    VMEM. CAUTION: k>1 unrolls the block chain per slice and the Mosaic
+    compile explodes (20+ min for k=4 on res3) — keep k=1 until the
+    kernel row-concatenates slices into single matmuls (NOTES_r2).
     """
     bt, h, w, cin = x.shape
     ho, wo = h // stride, w // stride
