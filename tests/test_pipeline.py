@@ -143,3 +143,16 @@ def test_segment_cams_shapes(tiny_clip):
                         batch_size=4)
     assert cams.shape[0] == L and cams.ndim == 3
     assert np.isfinite(cams).all()
+
+
+def test_synthesize_affine_norm(tiny_clip, tmp_path):
+    """-norm affine (folded frozen-BN inference variant) runs the full
+    pipeline — the configuration pretrained imports produce."""
+    from avtex.synth.pipeline import synthesize
+    cfg = Config(enc_arch="resnet10", model_type=1, img_size=32,
+                 new_video_length=2, threshold=0.5, interpolation=False,
+                 mini_batchsize=8, seed=0, norm="affine")
+    out = synthesize(cfg, tiny_clip["video"], params=None,
+                     out_dir=str(tmp_path))
+    assert len(out["result"].indices) >= 1
+    assert os.path.exists(out["paths"]["texture"])
