@@ -125,6 +125,22 @@ def main() -> None:
                   file=sys.stderr, flush=True)
         return result
 
+    # Pool-health probe: this environment's TPU is a shared remote pool
+    # whose throughput can degrade ~100x for hours; a 1024-matmul round
+    # trip is ~30-70 ms when healthy. Recorded so a bad e2e number can be
+    # attributed (see BASELINE.md / CLAUDE.md).
+    probe_a = jnp.ones((1024, 1024), jnp.bfloat16)
+    probe_f = jax.jit(lambda a: jnp.dot(a, a,
+                                        preferred_element_type=jnp.bfloat16))
+    np.asarray(probe_f(probe_a))
+    probe_ts = []
+    for _ in range(3):
+        tp = time.perf_counter()
+        np.asarray(probe_f(probe_a))
+        probe_ts.append(time.perf_counter() - tp)
+    probe_ms = round(min(probe_ts) * 1000, 1)
+    print(f"[bench] pool probe {probe_ms} ms", file=sys.stderr, flush=True)
+
     # Warmup: compile embed + walk kernels (first TPU compile is slow).
     print(f"[bench] init done; warming up (L={L}, steps={steps})",
           file=sys.stderr, flush=True)
@@ -165,6 +181,7 @@ def main() -> None:
                 2 * L / table_time[0] / (len(jax.devices())
                                          if mesh is not None else 1), 1),
             "embed_tables_s": round(table_time[0], 3),
+            "pool_probe_ms": probe_ms,
             "runs_s": [round(x, 3) for x in times],
             # Similarity-stage multiplier vs the reference's own code,
             # measured by tools/measure_similarity_speedup.py (see
