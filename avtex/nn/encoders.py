@@ -65,8 +65,17 @@ def build_encoder(arch: str, dtype: Any = jnp.bfloat16,
         raise ValueError(
             f"unknown encoder arch {arch!r}; have {sorted(ENCODER_REGISTRY)}")
     factory, kind = ENCODER_REGISTRY[arch]
-    try:
+    import inspect
+    sig = inspect.signature(factory)
+    if "remat" in sig.parameters:
         module = factory(dtype=dtype, norm=norm, remat=remat)
-    except TypeError:
+    else:
+        # densenet/2D wrappers have no remat field; a TypeError-catch here
+        # would also mask genuine construction errors, so inspect instead.
+        if remat:
+            import sys
+            print(f"[avtex] WARNING: encoder {arch!r} does not support "
+                  "remat; training without activation checkpointing",
+                  file=sys.stderr)
         module = factory(dtype=dtype, norm=norm)
     return module, module.feat_dim, kind

@@ -19,6 +19,14 @@ Padding is torch-explicit (pad 1 on 3³ convs and the stem maxpool) rather
 than XLA "SAME", so activations align bit-for-bit with the reference's
 nn.Conv3d(padding=1) even at stride 2 — required for exact pretrained-
 weight parity (SAME places the extra pad on the high side at even sizes).
+
+CHECKPOINT-COMPAT NOTE: the SAME→explicit-(1,1) padding switch (round 2)
+shifts stride-2 taps by one pixel at even sizes, so ``norm="group"``
+checkpoints trained BEFORE that change produce slightly different
+activations when evaluated under the current padding. All shipped parity
+tests and any checkpoint trained at/after round 2 use the explicit
+padding; only pre-round-2 experimental checkpoints (none were shipped)
+are affected.
 """
 
 from __future__ import annotations

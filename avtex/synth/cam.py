@@ -57,25 +57,34 @@ def _last_spatial_intermediate(tree) -> jnp.ndarray:
 
 def segment_cams(model: ContrastiveTextures, params, video_u8,
                  window: int, stride: int, num_segments: int, *,
-                 tower: str = "query", img_size: int = 224,
-                 batch_size: int = 16) -> np.ndarray:
+                 audio_examples=None, tower: str = "query",
+                 img_size: int = 224, batch_size: int = 16) -> np.ndarray:
     """[L, h, w] activation maps, one per segment, from one embed pass.
 
     cam[l] = sum_c emb[l, c] * act[l, ..., c] (T-averaged), the reference's
     construct_cam with the segment's own embedding as weights.
+    ``audio_examples`` ([N, mel, bands]) is required for model_type=2
+    models — the embed pass consumes each segment's audio example just
+    like the table precompute does.
     """
     slowfast = model.arch == "slowfast"
     video_dev = jnp.asarray(video_u8)
     emb_name = f"{'q' if tower == 'query' else 't'}_embedder"
+    L = num_segments
+    if model.model_type == 2:
+        if audio_examples is None:
+            raise ValueError("model_type=2 CAMs require audio_examples")
+        seg_ids = np.minimum(np.arange(L), len(audio_examples) - 1)
+        seg_audio = np.asarray(audio_examples)[seg_ids]
 
     @jax.jit
-    def run(params, starts):
+    def run(params, starts, aud):
         idx = starts[:, None] + jnp.arange(window)[None, :]
         x = preprocess_clip(video_dev[idx], size=img_size, slowfast=slowfast)
         if slowfast:
             x = slowfast_pathways(x)
         emb, state = model.apply(
-            params, x, None, tower=tower, method=model.embed,
+            params, x, aud, tower=tower, method=model.embed,
             capture_intermediates=lambda mod, name: name == "__call__")
         act = _last_spatial_intermediate(
             state["intermediates"][emb_name]["video_encoder"])
@@ -84,7 +93,6 @@ def segment_cams(model: ContrastiveTextures, params, video_u8,
         cam = jnp.einsum("bhwc,bc->bhw", act[..., : w.shape[-1]], w)
         return cam
 
-    L = num_segments
     starts_all = np.arange(L, dtype=np.int32) * stride
     pad = (-L) % batch_size
     if pad:
@@ -92,8 +100,13 @@ def segment_cams(model: ContrastiveTextures, params, video_u8,
             [starts_all, np.repeat(starts_all[-1:], pad)])
     cams = []
     for b in range(0, len(starts_all), batch_size):
-        cams.append(np.asarray(run(params, jnp.asarray(
-            starts_all[b:b + batch_size]))))
+        sl = slice(b, b + batch_size)
+        aud = None
+        if model.model_type == 2:
+            ids = np.minimum(starts_all[sl] // max(stride, 1), L - 1)
+            aud = jnp.asarray(seg_audio[ids])
+        cams.append(np.asarray(run(params, jnp.asarray(starts_all[sl]),
+                                   aud)))
     return np.concatenate(cams)[:L]
 
 

@@ -169,15 +169,27 @@ def synthesize(cfg: Config, video_path: str, params,
             from avtex.media.video import write_video
             from avtex.synth.cam import cam_step_frames, segment_cams
             with Timer() as t:
-                cams = segment_cams(model, params, video, W, S, L,
-                                    tower="query", img_size=cfg.img_size)
-                q_ids = np.concatenate([[result.seed_id],
-                                        np.asarray(result.indices[:-1])])
-                q_frames, p_frames = cam_step_frames(video, cams, q_ids, W, S)
-                paths["cam_q_video"] = write_video(
-                    q_frames, base + "_cam_q.mp4", fps)
-                paths["cam_p_video"] = write_video(
-                    p_frames, base + "_cam_p.mp4", fps)
+                try:
+                    cams = segment_cams(model, params, video, W, S, L,
+                                        audio_examples=audio_examples,
+                                        tower="query", img_size=cfg.img_size)
+                except ValueError as e:
+                    # 2D frame-mean encoders have no 5-D spatial
+                    # intermediate, and model_type=2 without source audio
+                    # cannot embed — skip CAMs, keep the texture outputs.
+                    import sys
+                    print(f"[avtex] WARNING: skipping CAM videos ({e})",
+                          file=sys.stderr)
+                    cams = None
+                if cams is not None:
+                    q_ids = np.concatenate([[result.seed_id],
+                                            np.asarray(result.indices[:-1])])
+                    q_frames, p_frames = cam_step_frames(video, cams, q_ids,
+                                                         W, S)
+                    paths["cam_q_video"] = write_video(
+                        q_frames, base + "_cam_q.mp4", fps)
+                    paths["cam_p_video"] = write_video(
+                        p_frames, base + "_cam_p.mp4", fps)
             timings["cam_s"] = t.elapsed
         paths["report"] = generate_html_report(
             base + "_report.html",
@@ -253,6 +265,15 @@ def init_params_for_synthesis(cfg: Config, model, video, window: int):
         from avtex.utils.convert import maybe_load_vggish_into_model
         params, _ = maybe_load_vggish_into_model(
             params, context="model_type=2 synthesis (random init)")
+    if cfg.norm == "affine":
+        # The affine configuration exists to run pretrained frozen-BN
+        # imports; random affine weights defeat it. Auto-load the encoder
+        # checkpoint into both towers when one is present (reference:
+        # models/models.py:556-580).
+        from avtex.utils.convert import maybe_load_encoder_into_model
+        params, _ = maybe_load_encoder_into_model(
+            cfg.enc_arch, params, window=window,
+            context="norm=affine synthesis (no trained checkpoint)")
     return params
 
 
@@ -333,4 +354,14 @@ def driving_audio_rows(cfg: Config, video, audio_examples, driving_examples,
                                             drv[jnp.asarray(ids)], cfg.temp)
         seed_id = min(seed_segment(jnp.asarray(audio_examples),
                                    jnp.asarray(driving_examples[0])), L - 1)
+    else:
+        # -daf VGG/Mel score driving audio against the SOURCE video's audio
+        # track; without it alpha-blending would be silently skipped. The
+        # reference fails outright here (validate.py:150-162 loads the
+        # source wav unconditionally) — fail loudly like it would.
+        raise ValueError(
+            f"driving audio given with -daf {cfg.da_feats} but the source "
+            "video has no audio track (-adata): VGG/Mel modes score "
+            "driving audio against source audio. Provide the source wav "
+            "or use -daf Contrastive.")
     return audio_logits, seed_id

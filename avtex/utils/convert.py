@@ -365,6 +365,75 @@ def maybe_load_encoder(arch: str, module, params, *example_args,
     return params, True
 
 
+def maybe_load_encoder_into_model(arch: str, model_params, *,
+                                  window: int = 8, path: str = None,
+                                  context: str = ""):
+    """Graft a pretrained frozen-BN encoder checkpoint into BOTH towers'
+    ``video_encoder`` subtrees of full ContrastiveTextures params
+    (``norm="affine"`` configuration).
+
+    The reference loads the same pretrained net into its query and target
+    encoders before any training (models/models.py:556-580 builds both
+    from the same checkpoint); synthesis without a trained contrastive
+    checkpoint should therefore start from the pretrained encoders, not
+    random affine weights. Returns (params, loaded: bool); silent no-op
+    when no checkpoint file exists (they are external artifacts).
+    """
+    found = find_encoder_checkpoint(arch, path)
+    if found is None:
+        return model_params, False
+
+    import jax.numpy as jnp
+    from flax.core import FrozenDict, freeze, unfreeze
+
+    from avtex.nn.encoders import build_encoder
+
+    module, _, kind = build_encoder(arch, norm="affine")
+    # Tiny example input: the apply pass only recovers call order, so only
+    # shape divisibility matters (T=window, 32x32 frames).
+    x = jnp.zeros((1, max(window, 4), 32, 32, 3), jnp.float32)
+    if kind == "slowfast":
+        from avtex.nn.slowfast import slowfast_pathways
+        example_args = slowfast_pathways(x)
+    else:
+        example_args = (x,)
+
+    frozen = isinstance(model_params, FrozenDict)
+    tree = unfreeze(model_params) if frozen else dict(model_params)
+    col = dict(tree.get("params", {}))
+    loaded_any = False
+    for tower in ("q_embedder", "t_embedder"):
+        sub = col.get(tower, {}).get("video_encoder")
+        if sub is None:
+            continue
+        new_sub, ok = _load_encoder_subtree(arch, module, {"params": sub},
+                                            example_args, found)
+        if not ok:
+            return model_params, False
+        col[tower] = dict(col[tower])
+        col[tower]["video_encoder"] = new_sub["params"]
+        loaded_any = True
+    if not loaded_any:
+        return model_params, False
+    tree["params"] = col
+    print(f"[avtex] loaded pretrained {arch} encoder weights from {found} "
+          f"into both towers ({context})")
+    return (freeze(tree) if frozen else tree), True
+
+
+def _load_encoder_subtree(arch, module, params, example_args, found):
+    state = load_torch_state(found)
+    state = {k: v for k, v in state.items() if not k.startswith("fc.")}
+    try:
+        return convert_bn_folded(state, module, params, *example_args), True
+    except ValueError as e:
+        import sys
+        print(f"[avtex] WARNING: pretrained {arch} import from {found} "
+              f"failed ({e}); continuing with current weights",
+              file=sys.stderr)
+        return params, False
+
+
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth/.ckpt into numpy arrays (torch CPU)."""
     import torch

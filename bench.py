@@ -133,13 +133,32 @@ def main() -> None:
     probe_f = jax.jit(lambda a: jnp.dot(a, a,
                                         preferred_element_type=jnp.bfloat16))
     np.asarray(probe_f(probe_a))
-    probe_ts = []
-    for _ in range(3):
-        tp = time.perf_counter()
-        np.asarray(probe_f(probe_a))
-        probe_ts.append(time.perf_counter() - tp)
-    probe_ms = round(min(probe_ts) * 1000, 1)
-    print(f"[bench] pool probe {probe_ms} ms", file=sys.stderr, flush=True)
+
+    def probe() -> float:
+        ts = []
+        for _ in range(3):
+            tp = time.perf_counter()
+            np.asarray(probe_f(probe_a))
+            ts.append(time.perf_counter() - tp)
+        return round(min(ts) * 1000, 1)
+
+    # Gate on pool health: when the probe exceeds the ~45 ms degraded
+    # threshold (healthy floor ~30 ms), wait and re-probe before measuring
+    # so the headline is taken in a healthy window by construction. Budget:
+    # ~6 min of waiting, then measure anyway and flag the run as degraded.
+    probe_ms = probe()
+    waited_s = 0.0
+    while probe_ms > 45.0 and waited_s < 360.0:
+        print(f"[bench] pool degraded ({probe_ms} ms > 45 ms); waiting 45 s",
+              file=sys.stderr, flush=True)
+        time.sleep(45.0)
+        waited_s += 45.0
+        probe_ms = probe()
+    pool_degraded = probe_ms > 45.0
+    print(f"[bench] pool probe {probe_ms} ms"
+          + (f" (still degraded after {waited_s:.0f}s wait)"
+             if pool_degraded else ""),
+          file=sys.stderr, flush=True)
 
     # Warmup: compile embed + walk kernels (first TPU compile is slow).
     print(f"[bench] init done; warming up (L={L}, steps={steps})",
@@ -161,6 +180,7 @@ def main() -> None:
                                   interpolate=False)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
+    median_s = float(np.median(times))
 
     assert len(stitched["frames"]) >= seconds * fps * 0.9
     print(json.dumps({
@@ -182,15 +202,20 @@ def main() -> None:
                                          if mesh is not None else 1), 1),
             "embed_tables_s": round(table_time[0], 3),
             "pool_probe_ms": probe_ms,
+            "pool_degraded": pool_degraded,
+            "median_s": round(median_s, 4),
             "runs_s": [round(x, 3) for x in times],
-            # Similarity-stage multiplier vs the reference's own code,
-            # measured by tools/measure_similarity_speedup.py (see
-            # BASELINE.md "Round-2"): reference computeD1 torch-CPU 231.8 s
-            # at N=450 vs Pallas 0.30 s at N=1800 on this chip.
-            "similarity_speedup_measured": {
+            # STATIC CITATION of a prior measurement (2026-08, round 2),
+            # not measured in this run: similarity-stage multiplier vs the
+            # reference's own code, produced by
+            # tools/measure_similarity_speedup.py (see BASELINE.md):
+            # reference computeD1 torch-CPU 231.8 s at N=450 vs Pallas
+            # 0.30 s at N=1800 on this chip.
+            "similarity_speedup_citation": {
                 "ref_computeD1_cpu_n450_s": 231.8,
                 "pallas_d1_n1800_s": 0.30,
                 "lower_bound_x": 770,
+                "measured": "2026-08 round 2",
             },
         },
     }))

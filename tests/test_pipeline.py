@@ -145,6 +145,63 @@ def test_segment_cams_shapes(tiny_clip):
     assert np.isfinite(cams).all()
 
 
+def test_driving_audio_without_source_audio_raises(tiny_clip, tmp_path):
+    """-da with -daf Mel/VGG but no source audio must fail loudly: those
+    modes score driving audio against the SOURCE track (the reference
+    loads the source wav unconditionally, validate.py:150-162), so a
+    silent no-blend walk would ignore alpha without telling anyone."""
+    from avtex.synth.pipeline import synthesize
+    cfg = Config(enc_arch="resnet10", model_type=1, img_size=32,
+                 new_video_length=2, threshold=0.5, alpha=0.5,
+                 da_feats="Mel", interpolation=False, seed=0)
+    with pytest.raises(ValueError, match="source"):
+        synthesize(cfg, tiny_clip["video"], params=None,
+                   audio_path=None,
+                   driving_audio_path=tiny_clip["audio"],
+                   out_dir=str(tmp_path))
+
+
+def test_vcam_2d_encoder_skips_gracefully(tiny_clip, tmp_path):
+    """-vcam with a 2D frame-mean encoder (no 5-D spatial intermediate):
+    texture outputs still land; CAM videos are skipped with a warning
+    instead of crashing after the expensive embed+walk."""
+    from avtex.synth.pipeline import synthesize
+    cfg = Config(enc_arch="resnet18_2d", model_type=1, img_size=32,
+                 new_video_length=2, threshold=0.5, interpolation=False,
+                 mini_batchsize=8, seed=0, vcam=True)
+    out = synthesize(cfg, tiny_clip["video"], params=None,
+                     out_dir=str(tmp_path))
+    assert os.path.exists(out["paths"]["texture"])
+    assert "cam_q_video" not in out["paths"]
+
+
+def test_segment_cams_model_type2_uses_audio(tiny_clip):
+    """model_type=2 CAMs embed with per-segment audio examples (was a
+    ValueError crash when segment_cams passed audio=None)."""
+    import jax
+    import jax.numpy as jnp
+    from avtex.contrastive.model import ContrastiveTextures
+    from avtex.media import read_video
+    from avtex.synth.cam import segment_cams
+
+    video, fps = read_video(tiny_clip["video"], 1)
+    W, S, L = 4, 2, 6
+    model = ContrastiveTextures(arch="resnet10", model_type=2)
+    from avtex.data.preprocess import preprocess_clip
+    xp = preprocess_clip(jnp.zeros((1, W, 32, 32, 3), jnp.uint8), size=32)
+    qa = jnp.zeros((1, 100, 64))
+    params = jax.jit(model.init)(jax.random.key(0), xp, xp[:, None],
+                                 qa, qa[:, None])
+    audio_examples = np.random.default_rng(0).random((L, 100, 64)) \
+        .astype(np.float32)
+    cams = segment_cams(model, params, video, W, S, L,
+                        audio_examples=audio_examples, img_size=32,
+                        batch_size=4)
+    assert cams.shape[0] == L and np.isfinite(cams).all()
+    with pytest.raises(ValueError, match="audio_examples"):
+        segment_cams(model, params, video, W, S, L, img_size=32)
+
+
 def test_synthesize_affine_norm(tiny_clip, tmp_path):
     """-norm affine (folded frozen-BN inference variant) runs the full
     pipeline — the configuration pretrained imports produce."""

@@ -404,6 +404,60 @@ def test_bn_folded_r3d_matches_reference_net():
     np.testing.assert_allclose(ours, ref_out, rtol=1e-3, atol=1e-4)
 
 
+def test_encoder_autoload_grafts_both_towers(tmp_path, monkeypatch):
+    """norm="affine" synthesis init auto-loads a pretrained frozen-BN
+    encoder checkpoint into BOTH towers (reference models/models.py:556-580
+    builds query and target encoders from the same checkpoint). Uses the
+    reference's OWN torch net saved to a real .pth file."""
+    import importlib.util
+
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_r3d",
+        "/root/reference/contrastive_video_textures/models/video_models/"
+        "resnet3d.py")
+    ref_r3d = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_r3d)
+
+    torch.manual_seed(3)
+    net = ref_r3d.resnet10(sample_size=32, sample_duration=8,
+                           pretrained=False)
+    g = torch.Generator().manual_seed(4)
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm3d):
+            m.running_mean = torch.randn(m.running_mean.shape, generator=g)
+            m.running_var = torch.rand(m.running_var.shape, generator=g) + 0.5
+    ckpt = str(tmp_path / "r3d10_fake.pth")
+    torch.save(net.state_dict(), ckpt)
+    monkeypatch.setenv("AVTEX_ENCODER_CKPT", ckpt)
+
+    import jax
+    import jax.numpy as jnp
+    from avtex.contrastive.model import ContrastiveTextures
+    from avtex.data.preprocess import preprocess_clip
+    from avtex.utils.convert import maybe_load_encoder_into_model
+
+    model = ContrastiveTextures(arch="resnet10", model_type=1,
+                                norm="affine")
+    xp = preprocess_clip(jnp.zeros((1, 4, 32, 32, 3), jnp.uint8), size=32)
+    params = jax.jit(model.init)(jax.random.key(0), xp, xp[:, None])
+    new, loaded = maybe_load_encoder_into_model("resnet10", params,
+                                                window=4)
+    assert loaded
+    w_torch = np.transpose(net.state_dict()["conv1.weight"].numpy(),
+                           (2, 3, 4, 1, 0))
+    for tower in ("q_embedder", "t_embedder"):
+        enc = new["params"][tower]["video_encoder"]
+        flat = jax.tree_util.tree_flatten_with_path(enc)[0]
+        kernels = [leaf for path, leaf in flat
+                   if str(getattr(path[-1], "key", "")) == "kernel"
+                   and np.ndim(leaf) == 5
+                   and tuple(np.shape(leaf)) == w_torch.shape]
+        assert any(np.allclose(np.asarray(k), w_torch) for k in kernels), \
+            f"{tower} stem kernel not grafted"
+
+
 def test_batching_utils_match_reference():
     """avtex.utils.batching vs the reference's torch implementations."""
     import importlib.util
