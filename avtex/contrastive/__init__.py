@@ -7,3 +7,4 @@ from .segments import (
     target_ordering,
 )
 from .infonce import info_nce_from_logits, info_nce_loss
+from .classic_temporal import ClassicTemporal, classic_temporal_distances

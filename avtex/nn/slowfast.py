@@ -10,13 +10,28 @@ here natively, TPU-first:
   kernels fused by XLA into the bottleneck matmuls;
 - SlowFast-8x8 geometry: alpha=4 (fast 32 frames -> slow 8), beta=1/8
   (fast width = slow/8), lateral fast->slow fusions after stem and
-  res2/res3/res4 via time-strided (5,1,1) convs;
+  res2/res3/res4 via time-strided (7,1,1) convs + norm + relu
+  (pyslowfast FuseFastToSlow with SLOWFAST_8x8_R50's
+  FUSION_KERNEL_SZ=7, FUSION_CONV_CHANNEL_RATIO=2);
 - R50 bottlenecks [3,4,6,3]; slow pathway has temporal kernels only in
   res4/res5, fast everywhere; spatial-only stage strides;
 - head = concat of global-avg-pooled pathways: 2048 + 256 = 2304 features.
 
-GroupNorm replaces BatchNorm (stateless under jit; the reference ran this
-encoder frozen in eval mode).
+GroupNorm replaces BatchNorm for training (stateless under jit);
+``norm="affine"`` is the folded frozen-BN inference variant that
+``avtex.utils.convert.convert_slowfast`` imports SLOWFAST_8x8_R50
+checkpoints into (the reference only ever runs this encoder frozen in
+eval mode, models/models.py:565-580).
+
+Padding is torch-explicit (k//2 per axis) rather than XLA "SAME" so
+activations align bit-for-bit with pyslowfast's nn.Conv3d padding at
+stride 2 — required for exact pretrained-weight parity (same contract as
+avtex/nn/resnet3d.py).
+
+CHECKPOINT-COMPAT NOTE (round 3): lateral fusions gained norm+relu and
+went (5,1,1)->(7,1,1), and padding switched SAME->explicit, matching the
+reference architecture exactly. norm="group" checkpoints trained before
+round 3 are structurally incompatible (no shipped checkpoints were).
 """
 
 from __future__ import annotations
@@ -92,7 +107,10 @@ class SFBottleneck(nn.Module):
         out_ch = self.features * self.expansion
 
         def conv(idx, z, feats, kernel, strides=(1, 1, 1)):
-            return nn.Conv(feats, kernel, strides, padding="SAME",
+            # torch-explicit padding (k//2 per axis): identical to SAME at
+            # stride 1, tap-exact vs torch at stride 2 on even extents.
+            pad = tuple((kk // 2, kk // 2) for kk in kernel)
+            return nn.Conv(feats, kernel, strides, padding=pad,
                            use_bias=False, dtype=self.dtype,
                            name=f"Conv_{idx}")(z)
 
@@ -151,6 +169,7 @@ class SlowFastR50(nn.Module):
     width: int = 64
     dtype: Any = jnp.bfloat16
     s2d_stem: bool = True
+    fusion_kernel: int = 7  # lateral conv temporal extent (SLOWFAST_8x8: 7)
     norm: str = "group"  # "affine" = folded frozen-BN (see resnet3d._norm)
     remat: bool = False  # checkpoint each bottleneck (training memory)
     fuse: Any = False    # Pallas fused 1x1+affine+residual epilogues in
@@ -170,9 +189,13 @@ class SlowFastR50(nn.Module):
         return top + top // BETA_INV
 
     def _lateral(self, fast, out_ch):
-        """Time-strided conv carrying fast features into the slow pathway."""
-        return nn.Conv(out_ch, (5, 1, 1), (ALPHA, 1, 1), padding="SAME",
-                       use_bias=False, dtype=self.dtype)(fast)
+        """Fast->slow fusion: time-strided conv + norm + relu (pyslowfast
+        FuseFastToSlow: conv_f2s/bn/relu then concat onto the slow path)."""
+        fk = self.fusion_kernel
+        y = nn.Conv(out_ch, (fk, 1, 1), (ALPHA, 1, 1),
+                    padding=((fk // 2, fk // 2), (0, 0), (0, 0)),
+                    use_bias=False, dtype=self.dtype)(fast)
+        return nn.relu(_norm(out_ch, self.dtype, self.norm)(y))
 
     @nn.compact
     def __call__(self, slow: jnp.ndarray, fast: jnp.ndarray) -> jnp.ndarray:
@@ -182,7 +205,8 @@ class SlowFastR50(nn.Module):
         wf = w // BETA_INV
 
         # Stems: slow has no temporal extent, fast a 5-frame one.
-        slow = nn.Conv(w, (1, 7, 7), (1, 2, 2), padding="SAME",
+        slow = nn.Conv(w, (1, 7, 7), (1, 2, 2),
+                       padding=((0, 0), (3, 3), (3, 3)),
                        use_bias=False, dtype=self.dtype)(slow)
         slow = nn.relu(_norm(w, self.dtype, self.norm)(slow))
         # One param serves both stem implementations, so the s2d flag can
@@ -196,12 +220,13 @@ class SlowFastR50(nn.Module):
         else:
             import jax
             fast = jax.lax.conv_general_dilated(
-                fast, k_fast, (1, 2, 2), "SAME",
+                fast, k_fast, (1, 2, 2), ((2, 2), (3, 3), (3, 3)),
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 preferred_element_type=self.dtype)
         fast = nn.relu(_norm(wf, self.dtype, self.norm)(fast))
-        slow = nn.max_pool(slow, (1, 3, 3), (1, 2, 2), padding="SAME")
-        fast = nn.max_pool(fast, (1, 3, 3), (1, 2, 2), padding="SAME")
+        pool_pad = ((0, 0), (1, 1), (1, 1))
+        slow = nn.max_pool(slow, (1, 3, 3), (1, 2, 2), padding=pool_pad)
+        fast = nn.max_pool(fast, (1, 3, 3), (1, 2, 2), padding=pool_pad)
         slow = jnp.concatenate(
             [slow, self._lateral(fast, 2 * wf).astype(slow.dtype)], axis=-1)
 

@@ -11,11 +11,15 @@ lanes and a 720-deep contraction. The kernel is a zero-scattered
 rearrangement of the original weights; equivalence is bit-exact in fp32
 (see tests/test_ops.py).
 
-Derivation (per spatial axis, stride 2, kernel 7, SAME pad (2,3)):
+Derivation (per spatial axis, stride 2, kernel 7): in PADDED coordinates
+the tap index is always
   out[2I+a] = sum_kh xp[4I + (2a+kh)] K[kh]
-with xp padded left 2. Writing 2a+kh = 4*dU + u (dU in {0,1,2}, u in
-{0..3}), the tap lands on s2d row I+dU, phase-channel u. Output phase a
-selects the output-channel block.
+independent of the pad split — the left-pad amount only decides which
+input value sits at each padded index. Writing 2a+kh = 4*dU + u (dU in
+{0,1,2}, u in {0..3}), the tap lands on s2d row I+dU, phase-channel u.
+Output phase a selects the output-channel block. Padding here is
+torch-explicit (3,3) to match the reference's nn.Conv3d(padding=3)
+tap alignment (see avtex/nn/slowfast.py padding contract).
 """
 
 from __future__ import annotations
@@ -46,7 +50,7 @@ def s2d_stem_kernel(k: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=())
 def fast_stem_s2d(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """Apply the stride-(1,2,2) SAME stem conv via the s2d formulation.
+    """Apply the stride-(1,2,2) torch-padded stem conv via s2d.
 
     Args:
       x: [B, T, H, W, C] with H, W divisible by 4.
@@ -54,17 +58,18 @@ def fast_stem_s2d(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
     Returns:
       [B, T, H//2, W//2, O] — identical to
-      lax.conv(x, k, strides (1,2,2), padding SAME).
+      lax.conv(x, k, strides (1,2,2), padding ((kt//2,)*2, (3,3), (3,3)))
+      (torch nn.Conv3d(padding=(kt//2, 3, 3)) semantics).
     """
     b, t, h, w, c = x.shape
     kt, _, _, _, o = k.shape
     tp = kt // 2
-    # SAME pads for kernel 7 / stride 2 are (2, 3); extend the right pad so
-    # the padded extent is divisible by 4 (extra zero columns never reach a
+    # torch pads for kernel 7 are (3, 3); extend the right pad so the
+    # padded extent is divisible by 4 (extra zero columns never reach a
     # surviving tap).
-    pad_r_h = 3 + (-(h + 2 + 3)) % 4
-    pad_r_w = 3 + (-(w + 2 + 3)) % 4
-    xp = jnp.pad(x, ((0, 0), (tp, tp), (2, pad_r_h), (2, pad_r_w), (0, 0)))
+    pad_r_h = 3 + (-(h + 3 + 3)) % 4
+    pad_r_w = 3 + (-(w + 3 + 3)) % 4
+    xp = jnp.pad(x, ((0, 0), (tp, tp), (3, pad_r_h), (3, pad_r_w), (0, 0)))
     hp, wp = xp.shape[2], xp.shape[3]
     x4 = (xp.reshape(b, t + 2 * tp, hp // 4, 4, wp // 4, 4, c)
           .transpose(0, 1, 2, 4, 3, 5, 6)

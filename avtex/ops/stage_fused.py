@@ -62,74 +62,75 @@ def _mm(a, w):
 
 
 def _block_body(v, blk: BlockWeights, stride: int):
-    """One bottleneck on a [H, W, C_in] slice -> [H/stride, W/stride, C_out].
+    """One bottleneck on [K, H, W, C_in] slices -> [K, H/s, W/s, C_out].
 
     Pure jnp on values — identical code runs inside the Pallas kernel (on
-    VMEM-loaded arrays) and as the XLA reference.
+    VMEM-loaded arrays) and as the XLA reference. The leading K axis
+    row-concatenates the slices into SINGLE matmuls ([K*H*W, C] @ [C, F]),
+    so k>1 grid steps amortize per-step overhead with NO code-size growth
+    (the round-2 python-unrolled k>1 variant exploded the Mosaic compile;
+    this is the row-concatenated shape NOTES_r2 prescribed).
     """
-    h, w, cin = v.shape
+    k, h, w, cin = v.shape
     f = blk.w1.shape[1]
     cout = blk.w3.shape[1]
     ho, wo = h // stride, w // stride
 
-    y = _affine_relu(_mm(v.reshape(h * w, cin), blk.w1), blk.s1, blk.b1)
-    y = y.astype(jnp.bfloat16).reshape(h, w, f)
+    y = _affine_relu(_mm(v.reshape(k * h * w, cin), blk.w1), blk.s1, blk.b1)
+    y = y.astype(jnp.bfloat16).reshape(k, h, w, f)
 
-    # 3x3 SAME conv via im2col in VMEM. Padding per torch/XLA SAME at
-    # stride 1 (pad 1 both sides); at stride 2 the avtex blocks use XLA
-    # "SAME" = pad (0, 1) (low 0, high 1) for even sizes — padded one
-    # extra on the high side so the decimating reshape below stays in
-    # bounds (the extra row/col only lands in discarded phases).
+    # 3x3 conv via im2col in VMEM, torch-explicit padding (1, 1) at every
+    # stride — matching SFBottleneck's round-3 padding contract
+    # (avtex/nn/slowfast.py: nn.Conv padding=((0,0),(1,1),(1,1))). At
+    # stride 2 the max tap index is dh + 2*(ho-1) + 1 <= h + 2, so the
+    # (1, 1) pad is exactly enough for the decimating reshape below.
+    # Slices pad independently, so taps never cross slice boundaries.
     # Mosaic cannot lower strided slices (>2D gather), so stride-2 taps
     # slice contiguously then decimate via reshape + phase-0 indexing.
-    pad_lo = 1 if stride == 1 else 0
-    pad_hi = 1 if stride == 1 else 2
-    yp = jnp.pad(y, ((pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)))
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     def tap(dh, dw):
-        t = jax.lax.slice(yp, (dh, dw, 0),
-                          (dh + ho * stride, dw + wo * stride, f))
+        t = jax.lax.slice(yp, (0, dh, dw, 0),
+                          (k, dh + ho * stride, dw + wo * stride, f))
         if stride == 1:
             return t
-        return t.reshape(ho, stride, wo, stride, f)[:, 0, :, 0, :]
+        # (k, ho*2) rows group as (k*ho, 2) in the same linear order
+        return t.reshape(k * ho, stride, wo, stride, f)[:, 0, :, 0, :]
 
     # Tap-wise accumulation (Mosaic cannot concat vectors whose sublane
-    # offsets differ, which the shifted taps do): nine [ho*wo, F] x [F, F]
-    # matmuls summed in fp32 — same arithmetic as the single im2col
-    # matmul, K = F >= 128 on the slow tower keeps the MXU rows full.
+    # offsets differ, which the shifted taps do): nine [K*ho*wo, F] x
+    # [F, F] matmuls summed in fp32 — same arithmetic as the single
+    # im2col matmul, K = F >= 128 on the slow tower keeps MXU rows full.
     w2 = blk.w2.reshape(3, 3, f, f)
     acc = None
     for dh in range(3):
         for dw in range(3):
-            part = _mm(tap(dh, dw).reshape(ho * wo, f), w2[dh, dw])
+            part = _mm(tap(dh, dw).reshape(k * ho * wo, f), w2[dh, dw])
             acc = part if acc is None else acc + part
     y = _affine_relu(acc, blk.s2, blk.b2)
     y = y.astype(jnp.bfloat16)
 
-    y = _mm(y, blk.w3) * blk.s3 + blk.b3              # [ho*wo, C_out]
+    y = _mm(y, blk.w3) * blk.s3 + blk.b3              # [K*ho*wo, C_out]
 
     if blk.wp is not None:
-        vs = (v.reshape(ho, stride, wo, stride, cin)[:, 0, :, 0, :]
-              if stride > 1 else v).reshape(ho * wo, cin)
+        vs = (v.reshape(k * ho, stride, wo, stride, cin)[:, 0, :, 0, :]
+              if stride > 1 else v).reshape(k * ho * wo, cin)
         r = _affine_relu(_mm(vs, blk.wp), blk.sp, blk.bp, relu=False)
     else:
-        r = v.reshape(ho * wo, cout).astype(jnp.float32)
-    return jnp.maximum(y + r, 0.0).astype(jnp.bfloat16).reshape(ho, wo, cout)
+        r = v.reshape(k * ho * wo, cout).astype(jnp.float32)
+    return jnp.maximum(y + r, 0.0).astype(jnp.bfloat16) \
+        .reshape(k, ho, wo, cout)
 
 
 def stage_reference(x: jnp.ndarray, blocks: Sequence[BlockWeights],
                     stride: int) -> jnp.ndarray:
-    """XLA reference: vmapped block chain over the (b*t) axis."""
-
-    def slice_fn(v):
-        for i, blk in enumerate(blocks):
-            v = _block_body(v, blk, stride if i == 0 else 1)
-        return v
-
-    return jax.vmap(slice_fn)(x)
+    """XLA reference: the same body over the whole (b*t) axis at once."""
+    for i, blk in enumerate(blocks):
+        x = _block_body(x, blk, stride if i == 0 else 1)
+    return x
 
 
-def _stage_kernel(*refs, n_blocks: int, stride: int, k: int = 1):
+def _stage_kernel(*refs, n_blocks: int, stride: int):
     x_ref = refs[0]
     out_ref = refs[-1]
     w_refs = refs[1:-1]
@@ -157,12 +158,7 @@ def _stage_kernel(*refs, n_blocks: int, stride: int, k: int = 1):
             blk = BlockWeights(w1, vec(s1), vec(b1), w2,
                                vec(s2), vec(b2), w3, vec(s3), vec(b3),
                                None, None, None)
-        if k == 1:
-            v = _block_body(v[0], blk, stride if b == 0 else 1)[None]
-        else:
-            v = jnp.stack([
-                _block_body(v[j], blk, stride if b == 0 else 1)
-                for j in range(k)])
+        v = _block_body(v, blk, stride if b == 0 else 1)
     out_ref[...] = v
 
 
@@ -207,10 +203,12 @@ def fused_stage(x: jnp.ndarray, blocks: Sequence[BlockWeights],
                 slices_per_step: int = 1) -> jnp.ndarray:
     """Run a whole bottleneck stage on [BT, H, W, C_in] -> [BT, Ho, Wo, C_out].
 
-    ``slices_per_step`` (b*t) slices per grid step; the full stage runs in
-    VMEM. CAUTION: k>1 unrolls the block chain per slice and the Mosaic
-    compile explodes (20+ min for k=4 on res3) — keep k=1 until the
-    kernel row-concatenates slices into single matmuls (NOTES_r2).
+    ``slices_per_step`` (k): (b*t) slices per grid step. Slices
+    row-concatenate into single [k*H*W, C] matmuls inside the kernel
+    (leading-axis batching, NOT python unrolling — the round-2 unrolled
+    variant exploded the Mosaic compile; this one's code size is
+    k-independent), so larger k amortizes per-step overhead at the cost
+    of k x the activation VMEM footprint.
     """
     bt, h, w, cin = x.shape
     ho, wo = h // stride, w // stride
@@ -245,7 +243,7 @@ def fused_stage(x: jnp.ndarray, blocks: Sequence[BlockWeights],
             add_w(a)
 
     kernel = functools.partial(_stage_kernel, n_blocks=len(blocks),
-                               stride=stride, k=k)
+                               stride=stride)
     return pl.pallas_call(
         kernel,
         grid=(bt // k,),

@@ -335,7 +335,8 @@ def find_encoder_checkpoint(arch: str, explicit: str = None) -> str:
     (resnet3d.py:18-24 ``r3d18_KM_200ep.pth`` under ``pretrained/``).
     Returns None if absent."""
     import os
-    names = {"resnet18": "r3d18_KM_200ep.pth"}
+    names = {"resnet18": "r3d18_KM_200ep.pth",
+             "slowfast": "SLOWFAST_8x8_R50.pkl"}
     fname = names.get(arch)
     for cand in (explicit, os.environ.get("AVTEX_ENCODER_CKPT"),
                  fname and f"pretrained/{fname}", fname):
@@ -356,13 +357,230 @@ def maybe_load_encoder(arch: str, module, params, *example_args,
     found = find_encoder_checkpoint(arch, path)
     if found is None:
         return params, False
-    state = load_torch_state(found)
-    # drop classifier tensors (fc.*) — the feature forward never uses them
-    state = {k: v for k, v in state.items() if not k.startswith("fc.")}
-    params = convert_bn_folded(state, module, params, *example_args)
+    if arch == "slowfast":
+        params = convert_slowfast(load_slowfast_state(found), params)
+    else:
+        state = load_torch_state(found)
+        # drop classifier tensors (fc.*) — the feature forward never uses them
+        state = {k: v for k, v in state.items() if not k.startswith("fc.")}
+        params = convert_bn_folded(state, module, params, *example_args)
     print(f"[avtex] loaded pretrained {arch} weights from {found} "
           f"({context})")
     return params, True
+
+
+def _fold_bn(mod: Dict[str, np.ndarray], eps: float = 1e-5):
+    """Frozen-BN tensors -> equivalent per-channel (scale, shift)."""
+    gamma, beta = mod.get("weight"), mod.get("bias")
+    mean, var = mod["running_mean"], mod["running_var"]
+    scale = (1.0 if gamma is None else gamma) / np.sqrt(var + eps)
+    shift = (0.0 if beta is None else beta) - mean * scale
+    return scale.astype(np.float32), shift.astype(np.float32)
+
+
+def convert_slowfast(torch_state: Dict[str, np.ndarray], flax_params,
+                     layers=(3, 4, 6, 3), eps: float = 1e-5):
+    """Import a pyslowfast SlowFast-R50 checkpoint (pytorch-format module
+    naming) into ``SlowFastR50(norm="affine")`` params.
+
+    This is the reference's flagship pretrained encoder: pyslowfast's
+    ``SLOWFAST_8x8_R50`` with the head stripped (reference:
+    models/models.py:565-580 loads the caffe2 pkl via ActionPredictor and
+    replaces head.dropout/projection/act with Identity). The reference
+    only ever runs it eval-mode, so every BatchNorm folds losslessly into
+    the affine slots.
+
+    Name mapping (pyslowfast video_model_builder.SlowFast -> avtex
+    avtex/nn/slowfast.py::SlowFastR50):
+
+      s1.pathway0_stem.{conv,bn}        -> Conv_0 / Affine_0
+      s1.pathway1_stem.{conv,bn}        -> fast_stem_kernel / Affine_1
+      s1_fuse.{conv_f2s,bn}             -> Conv_1 / Affine_2
+      s{2+i}.pathway0_res{j}.*          -> SFBottleneck_{2g}   (slow)
+      s{2+i}.pathway1_res{j}.*          -> SFBottleneck_{2g+1} (fast)
+        with g = sum(layers[:i]) + j and, inside a block,
+        branch2.a/a_bn -> Conv_0/Affine_0, b/b_bn -> Conv_1/Affine_1,
+        c/c_bn -> Conv_2/Affine_2, branch1/branch1_bn -> Conv_3/Affine_3
+      s{2+i}_fuse.{conv_f2s,bn}         -> Conv_{2+i} / Affine_{3+i}
+      head.*                            -> dropped (the reference strips it)
+
+    Every mapped tensor is shape-checked against the flax slot; unmapped
+    non-head torch keys and unmatched flax slots raise with the offending
+    names, so a naming drift can never corrupt silently.
+    """
+    import jax
+
+    # group torch tensors by module base
+    by_base: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, v in torch_state.items():
+        if key.startswith("head.") or key.endswith("num_batches_tracked"):
+            continue
+        base, _, leaf = key.rpartition(".")
+        by_base.setdefault(base, {})[leaf] = np.asarray(v)
+
+    repl: Dict[str, np.ndarray] = {}
+    used = set()
+
+    def take_conv(torch_mod: str, avtex_path: str):
+        mod = by_base.get(torch_mod)
+        if mod is None or "weight" not in mod:
+            raise ValueError(f"slowfast ckpt missing conv {torch_mod!r} "
+                             f"(have e.g. {sorted(by_base)[:8]})")
+        repl[avtex_path] = _torch_conv_to_flax(mod["weight"])
+        used.add(torch_mod)
+
+    def take_bn(torch_mod: str, avtex_prefix: str):
+        mod = by_base.get(torch_mod)
+        if mod is None or "running_mean" not in mod:
+            raise ValueError(f"slowfast ckpt missing bn {torch_mod!r}")
+        scale, shift = _fold_bn(mod, eps)
+        repl[avtex_prefix + "/scale"] = scale
+        repl[avtex_prefix + "/bias"] = shift
+        used.add(torch_mod)
+
+    take_conv("s1.pathway0_stem.conv", "Conv_0/kernel")
+    take_bn("s1.pathway0_stem.bn", "Affine_0")
+    take_conv("s1.pathway1_stem.conv", "fast_stem_kernel")
+    take_bn("s1.pathway1_stem.bn", "Affine_1")
+    take_conv("s1_fuse.conv_f2s", "Conv_1/kernel")
+    take_bn("s1_fuse.bn", "Affine_2")
+
+    g = 0
+    for i, n_blocks in enumerate(layers):
+        s = f"s{2 + i}"
+        for j in range(n_blocks):
+            for pathway, blk in ((0, f"SFBottleneck_{2 * g}"),
+                                 (1, f"SFBottleneck_{2 * g + 1}")):
+                t = f"{s}.pathway{pathway}_res{j}"
+                for tk, ak in (("branch2.a", "Conv_0"),
+                               ("branch2.b", "Conv_1"),
+                               ("branch2.c", "Conv_2")):
+                    take_conv(f"{t}.{tk}", f"{blk}/{ak}/kernel")
+                    take_bn(f"{t}.{tk}_bn", f"{blk}/Affine_{ak[-1]}")
+                if f"{t}.branch1" in by_base:
+                    take_conv(f"{t}.branch1", f"{blk}/Conv_3/kernel")
+                    take_bn(f"{t}.branch1_bn", f"{blk}/Affine_3")
+            g += 1
+        if i != len(layers) - 1:
+            # top-level auto-name counters: Conv_0 slow stem, Conv_1 stem
+            # lateral, then one lateral per non-final stage; Affine_0/1
+            # stems, Affine_2 stem lateral, then stage laterals.
+            take_conv(f"{s}_fuse.conv_f2s", f"Conv_{2 + i}/kernel")
+            take_bn(f"{s}_fuse.bn", f"Affine_{3 + i}")
+
+    leftover = [b for b in by_base if b not in used]
+    if leftover:
+        raise ValueError(f"slowfast ckpt has unmapped modules: {leftover}")
+
+    hit = set()
+
+    def rebuild(path, leaf):
+        keys = "/".join(str(getattr(p, "key", p)) for p in path
+                        if str(getattr(p, "key", p)) != "params")
+        if keys in repl:
+            w = repl[keys]
+            if tuple(np.shape(leaf)) != tuple(w.shape):
+                raise ValueError(f"shape mismatch at {keys}: flax "
+                                 f"{np.shape(leaf)} vs torch {w.shape}")
+            hit.add(keys)
+            return np.asarray(w, dtype=np.float32)
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(rebuild, flax_params)
+    missed = sorted(set(repl) - hit)
+    if missed:
+        raise ValueError(f"slowfast import: no flax slot for {missed[:10]} "
+                         f"({len(missed)} total) — wrong layers/norm?")
+    return out
+
+
+# pyslowfast stores the c2-format SLOWFAST_8x8_R50.pkl with caffe2 blob
+# names; these rules reconstruct pyslowfast's c2->pytorch name conversion
+# (slowfast/utils/c2_model_loading.py::get_name_convert_func) for the
+# SlowFast blob families. Unmatched blobs surface loudly in
+# convert_slowfast's coverage check — never silently.
+def _c2_name_to_pt(name: str) -> str:
+    import re
+    rules = (
+        # fuse convs/bns: 't_pool1_subsample*' (stem), 't_res{N}_{J}_...'
+        (r"^t_pool1_subsample_bn_(.*)$", r"s1_fuse.bn.\1"),
+        (r"^t_pool1_subsample_(.*)$", r"s1_fuse.conv_f2s.\1"),
+        (r"^t_res(\d+)_(\d+)_branch2c_bn_subsample_bn_(.*)$",
+         lambda m: f"s{int(m.group(1)) + 1}_fuse.bn.{m.group(3)}"),
+        (r"^t_res(\d+)_(\d+)_branch2c_bn_subsample_(.*)$",
+         lambda m: f"s{int(m.group(1)) + 1}_fuse.conv_f2s.{m.group(3)}"),
+        # stems: 'conv1_fast_w', 'res_conv1_fast_bn_s', 'conv1_w', ...
+        (r"^conv1_fast_(.*)$", r"s1.pathway1_stem.conv.\1"),
+        (r"^res_conv1_fast_bn_(.*)$", r"s1.pathway1_stem.bn.\1"),
+        (r"^conv1_(.*)$", r"s1.pathway0_stem.conv.\1"),
+        (r"^res_conv1_bn_(.*)$", r"s1.pathway0_stem.bn.\1"),
+        # blocks: 'res2_0_branch2a_fast_w' / 'res2_0_branch2a_bn_fast_s'
+        (r"^res(\d)_(\d+)_branch(\d)([a-c]?)_bn_fast_(.*)$",
+         lambda m: f"s{m.group(1)}.pathway1_res{m.group(2)}."
+                   f"{_c2_branch(m.group(3), m.group(4))}_bn.{m.group(5)}"),
+        (r"^res(\d)_(\d+)_branch(\d)([a-c]?)_fast_(.*)$",
+         lambda m: f"s{m.group(1)}.pathway1_res{m.group(2)}."
+                   f"{_c2_branch(m.group(3), m.group(4))}.{m.group(5)}"),
+        (r"^res(\d)_(\d+)_branch(\d)([a-c]?)_bn_(.*)$",
+         lambda m: f"s{m.group(1)}.pathway0_res{m.group(2)}."
+                   f"{_c2_branch(m.group(3), m.group(4))}_bn.{m.group(5)}"),
+        (r"^res(\d)_(\d+)_branch(\d)([a-c]?)_(.*)$",
+         lambda m: f"s{m.group(1)}.pathway0_res{m.group(2)}."
+                   f"{_c2_branch(m.group(3), m.group(4))}.{m.group(5)}"),
+        (r"^pred_(.*)$", r"head.projection.\1"),
+    )
+    for pat, rep in rules:
+        m = re.match(pat, name)
+        if m:
+            return rep(m) if callable(rep) else re.sub(pat, rep, name)
+    return name
+
+
+def _c2_branch(num: str, letter: str) -> str:
+    return f"branch2.{letter}" if num == "2" else "branch1"
+
+
+_C2_LEAF = {"w": "weight", "b": "bias", "s": "weight", "rm": "running_mean",
+            "riv": "running_var"}
+
+
+def load_slowfast_state(path: str) -> Dict[str, np.ndarray]:
+    """Load a SlowFast checkpoint into pytorch-format naming.
+
+    Accepts: a torch .pth/.pyth save (optionally wrapped in
+    ``model_state``/``state_dict``), or the caffe2 ``.pkl`` from the
+    pyslowfast model zoo ({"blobs": {...}} — the exact artifact the
+    reference points at, models/models.py:573), whose blob names are
+    converted via ``_c2_name_to_pt``. BN leaves: c2 ``_s``->weight
+    (scale), ``_b``->bias, ``_rm``/``_riv``->running stats.
+    """
+    import pickle
+
+    try:
+        state = load_torch_state(path)
+        if state:
+            return {k[len("model."):] if k.startswith("model.") else k: v
+                    for k, v in state.items()}
+    except Exception:
+        pass
+    with open(path, "rb") as f:
+        obj = pickle.load(f, encoding="latin1")
+    blobs = obj.get("blobs", obj) if isinstance(obj, dict) else obj
+    out = {}
+    for name, v in blobs.items():
+        if not hasattr(v, "shape") or "momentum" in name:
+            continue
+        base, _, leaf = name.rpartition("_")
+        if name.endswith("_riv"):
+            base, leaf = name[: -len("_riv")], "riv"
+        elif name.endswith("_rm"):
+            base, leaf = name[: -len("_rm")], "rm"
+        if leaf not in _C2_LEAF:
+            continue
+        pt = _c2_name_to_pt(f"{base}_{leaf}")
+        pt_base, _, pt_leaf = pt.rpartition(".")
+        out[f"{pt_base}.{_C2_LEAF.get(pt_leaf, pt_leaf)}"] = np.asarray(v)
+    return out
 
 
 def maybe_load_encoder_into_model(arch: str, model_params, *,
@@ -422,9 +640,12 @@ def maybe_load_encoder_into_model(arch: str, model_params, *,
 
 
 def _load_encoder_subtree(arch, module, params, example_args, found):
-    state = load_torch_state(found)
-    state = {k: v for k, v in state.items() if not k.startswith("fc.")}
     try:
+        if arch == "slowfast":
+            state = load_slowfast_state(found)
+            return convert_slowfast(state, params), True
+        state = load_torch_state(found)
+        state = {k: v for k, v in state.items() if not k.startswith("fc.")}
         return convert_bn_folded(state, module, params, *example_args), True
     except ValueError as e:
         import sys
@@ -438,7 +659,8 @@ def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     """Load a .pth/.ckpt into numpy arrays (torch CPU)."""
     import torch
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict) and "state_dict" in obj:
-        obj = obj["state_dict"]
+    for wrap in ("state_dict", "model_state"):  # pyslowfast uses model_state
+        if isinstance(obj, dict) and wrap in obj:
+            obj = obj[wrap]
     return {k: v.numpy() for k, v in obj.items()
             if hasattr(v, "numpy")}

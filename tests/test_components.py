@@ -130,3 +130,34 @@ def test_train_resume(tmp_path, rng):
                            history[0], is_best=True)
     state2, history2 = train_video(cfg, vid, epochs=3, resume=path)
     assert len(history2) == 2  # resumed at epoch 1 of 3
+
+
+def test_classic_temporal_distances(rng):
+    """ClassicTemporal scoring: [B, N+1] L2 distances over normalized
+    embeddings, query appended as the always-0 final column (reference
+    models/models.py:136-230 semantics, minus its dead-code bugs)."""
+    import jax
+    import jax.numpy as jnp
+    from avtex.contrastive import ClassicTemporal, classic_temporal_distances
+
+    # pure scoring math vs direct norms
+    q = rng.standard_normal((3, 16)).astype(np.float32)
+    t = rng.standard_normal((3, 5, 16)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t /= np.linalg.norm(t, axis=-1, keepdims=True)
+    d = np.asarray(classic_temporal_distances(jnp.asarray(q),
+                                              jnp.asarray(t)))
+    ref = np.linalg.norm(q[:, None] - t, axis=-1)
+    np.testing.assert_allclose(d[:, :5], ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(d[:, 5], 0.0)
+
+    # full module: one shared tower, distances finite and self-col 0
+    m = ClassicTemporal(arch="resnet10", model_type=1)
+    qf = jnp.asarray(rng.random((2, 4, 16, 16, 3)), jnp.float32)
+    tf = jnp.asarray(rng.random((2, 3, 4, 16, 16, 3)), jnp.float32)
+    params = jax.jit(m.init)(jax.random.key(0), qf, tf)
+    out = np.asarray(jax.jit(m.apply)(params, qf, tf))
+    assert out.shape == (2, 4)
+    assert np.isfinite(out).all() and np.all(out[:, 3] == 0.0)
+    # one embedder serves both sides (reference: single v_encoder)
+    assert set(params["params"]) == {"embedder"}

@@ -24,7 +24,8 @@ def test_pairwise_pallas_normalized(rng):
 
 
 def test_s2d_stem_exact_equivalence(rng):
-    """s2d stem must reproduce the plain stride-(1,2,2) SAME conv exactly."""
+    """s2d stem must reproduce the plain stride-(1,2,2) torch-padded conv
+    (pad (kt//2, 3, 3) — the reference's nn.Conv3d padding) exactly."""
     import jax
     import jax.numpy as jnp
     from avtex.ops.s2d_stem import fast_stem_s2d
@@ -32,7 +33,8 @@ def test_s2d_stem_exact_equivalence(rng):
     x = jnp.asarray(rng.standard_normal((2, 6, 16, 20, 3)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((5, 7, 7, 3, 8)), jnp.float32)
     ref = jax.lax.conv_general_dilated(
-        x, k, window_strides=(1, 2, 2), padding="SAME",
+        x, k, window_strides=(1, 2, 2),
+        padding=((2, 2), (3, 3), (3, 3)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     out = fast_stem_s2d(x, k)
     assert out.shape == ref.shape
@@ -48,7 +50,8 @@ def test_s2d_stem_224(rng):
     x = jnp.asarray(rng.standard_normal((1, 5, 224, 224, 3)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((5, 7, 7, 3, 8)), jnp.float32)
     ref = jax.lax.conv_general_dilated(
-        x, k, (1, 2, 2), "SAME", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        x, k, (1, 2, 2), ((2, 2), (3, 3), (3, 3)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     out = fast_stem_s2d(x, k)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)

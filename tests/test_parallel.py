@@ -133,3 +133,65 @@ def test_sharded_embed_from_video_matches(mesh, rng):
     sharded = np.asarray(sharded_embed_from_video(
         model, params, mesh, video, W, S, L, tower="target", img_size=16))
     np.testing.assert_allclose(sharded, plain, atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_sharding_invariance_across_mesh_shapes():
+    """Same batch + seed through mesh shapes (8,1), (4,2), (2,4) must give
+    the same loss (fp32 tolerance) — multi-device numerics pinned, not
+    just placement specs. Subprocess-isolated like
+    test_sharded_train_step_runs (the in-process CPU collectives abort
+    the interpreter under 1-core starvation; an abort is an environment
+    limitation -> skip, a numeric mismatch is a real failure)."""
+    import subprocess
+    import sys
+    script = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=8 "
+    "--xla_cpu_collective_call_terminate_timeout_seconds=600")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from avtex.config import Config
+from avtex.contrastive.model import ContrastiveTextures
+from avtex.parallel import (make_mesh, make_sharded_train_step,
+                            param_shardings)
+from avtex.train.loop import create_state
+rng = np.random.default_rng(0)
+cfg = Config(enc_arch="resnet10", model_type=2, img_size=16, window=4,
+             stride=2, train_stride=2, n_negs=2, batch_size=8, lr=0.01)
+batch = {
+    "q_frames": (rng.random((8, 4, 16, 16, 3)) * 255).astype(np.uint8),
+    "t_frames": (rng.random((8, 3, 4, 16, 16, 3)) * 255).astype(np.uint8),
+    "q_audio": rng.random((8, 100, 64)).astype(np.float32),
+    "t_audio": rng.random((8, 3, 100, 64)).astype(np.float32),
+    "q_ids": np.arange(8),
+}
+losses = []
+for shape in ((8, 1), (4, 2), (2, 4)):
+    mesh = make_mesh(shape)
+    model = ContrastiveTextures(arch="resnet10", model_type=2, temp=cfg.temp)
+    state, tx = create_state(model, cfg, batch, 10, slowfast=False)
+    state = state.replace(params=jax.device_put(
+        state.params, param_shardings(state.params, mesh)))
+    step = make_sharded_train_step(model, tx, mesh, 16, slowfast=False)
+    _, metrics = step(state, batch, jax.random.key(0))
+    losses.append(float(metrics["loss"]))
+print("LOSSES", losses)
+assert np.isfinite(losses).all(), losses
+ref = losses[0]
+for l in losses[1:]:
+    assert abs(l - ref) < 5e-4, losses
+print("INVARIANT_OK")
+"""
+    try:
+        proc = subprocess.run([sys.executable, "-c", script],
+                              capture_output=True, text=True, timeout=900)
+    except subprocess.TimeoutExpired:
+        pytest.skip("CPU collective sweep timed out (1-core host)")
+    if "INVARIANT_OK" in proc.stdout:
+        return
+    if "AssertionError" in proc.stderr:
+        raise AssertionError(proc.stdout[-500:] + proc.stderr[-1500:])
+    pytest.skip(f"collective aborted (environment): rc={proc.returncode}")

@@ -458,6 +458,226 @@ def test_encoder_autoload_grafts_both_towers(tmp_path, monkeypatch):
             f"{tower} stem kernel not grafted"
 
 
+def _torch_slowfast(layers=(2, 1, 1, 1), width=8, beta_inv=8, alpha=4,
+                    fusion_kernel=7):
+    """Minimal torch SlowFast with pyslowfast's module naming + forward
+    semantics (video_model_builder.SlowFast: stems with pooling, lateral
+    FuseFastToSlow conv/bn/relu, bottleneck branch2 a/b/c with the
+    temporal kernel on a, stride on b, branch1 projection, pooled-concat
+    head). This is the SLOWFAST_8x8_R50 shape the reference strips the
+    head from (models/models.py:565-580), at test width."""
+    import torch
+    import torch.nn as nn
+
+    class Stem(nn.Module):
+        def __init__(self, cin, cout, tk):
+            super().__init__()
+            self.conv = nn.Conv3d(cin, cout, (tk, 7, 7), (1, 2, 2),
+                                  (tk // 2, 3, 3), bias=False)
+            self.bn = nn.BatchNorm3d(cout)
+            self.pool = nn.MaxPool3d((1, 3, 3), (1, 2, 2), (0, 1, 1))
+
+        def forward(self, x):
+            return self.pool(torch.relu(self.bn(self.conv(x))))
+
+    class Fuse(nn.Module):
+        def __init__(self, cf):
+            super().__init__()
+            fk = fusion_kernel
+            self.conv_f2s = nn.Conv3d(cf, 2 * cf, (fk, 1, 1),
+                                      (alpha, 1, 1), (fk // 2, 0, 0),
+                                      bias=False)
+            self.bn = nn.BatchNorm3d(2 * cf)
+
+        def forward(self, xs, xf):
+            return torch.cat([xs, torch.relu(self.bn(self.conv_f2s(xf)))],
+                             dim=1), xf
+
+    class Block(nn.Module):
+        def __init__(self, cin, feats, tk, stride):
+            super().__init__()
+            out = feats * 4
+            if cin != out or stride != 1:
+                self.branch1 = nn.Conv3d(cin, out, 1, (1, stride, stride),
+                                         bias=False)
+                self.branch1_bn = nn.BatchNorm3d(out)
+            self.branch2 = nn.ModuleDict({
+                "a": nn.Conv3d(cin, feats, (tk, 1, 1), 1, (tk // 2, 0, 0),
+                               bias=False),
+                "a_bn": nn.BatchNorm3d(feats),
+                "b": nn.Conv3d(feats, feats, (1, 3, 3), (1, stride, stride),
+                               (0, 1, 1), bias=False),
+                "b_bn": nn.BatchNorm3d(feats),
+                "c": nn.Conv3d(feats, out, 1, 1, bias=False),
+                "c_bn": nn.BatchNorm3d(out),
+            })
+
+        def forward(self, x):
+            b2 = self.branch2
+            y = torch.relu(b2["a_bn"](b2["a"](x)))
+            y = torch.relu(b2["b_bn"](b2["b"](y)))
+            y = b2["c_bn"](b2["c"](y))
+            r = (self.branch1_bn(self.branch1(x))
+                 if hasattr(self, "branch1") else x)
+            return torch.relu(y + r)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            w, wf = width, width // beta_inv
+            self.s1 = nn.Module()
+            self.s1.pathway0_stem = Stem(3, w, 1)
+            self.s1.pathway1_stem = Stem(3, wf, 5)
+            self.s1_fuse = Fuse(wf)
+            slow_t = (1, 1, 3, 3)
+            cin_s, cin_f = w + 2 * wf, wf
+            for i, n in enumerate(layers):
+                feats = w * 2 ** i
+                stage = nn.Module()
+                for j in range(n):
+                    stride = 2 if (i > 0 and j == 0) else 1
+                    setattr(stage, f"pathway0_res{j}",
+                            Block(cin_s, feats, slow_t[i], stride))
+                    setattr(stage, f"pathway1_res{j}",
+                            Block(cin_f, feats // beta_inv, 3, stride))
+                    cin_s, cin_f = feats * 4, feats * 4 // beta_inv
+                setattr(self, f"s{2 + i}", stage)
+                if i != len(layers) - 1:
+                    setattr(self, f"s{2 + i}_fuse", Fuse(cin_f))
+                    cin_s += 2 * cin_f
+            self.layers = layers
+
+        def forward(self, xs, xf):
+            xs = self.s1.pathway0_stem(xs)
+            xf = self.s1.pathway1_stem(xf)
+            xs, xf = self.s1_fuse(xs, xf)
+            for i, n in enumerate(self.layers):
+                stage = getattr(self, f"s{2 + i}")
+                for j in range(n):
+                    xs = getattr(stage, f"pathway0_res{j}")(xs)
+                    xf = getattr(stage, f"pathway1_res{j}")(xf)
+                if i != len(self.layers) - 1:
+                    xs, xf = getattr(self, f"s{2 + i}_fuse")(xs, xf)
+            pool = lambda z: z.mean(dim=(2, 3, 4))  # noqa: E731
+            return torch.cat([pool(xs), pool(xf)], dim=1)
+
+    return Net()
+
+
+def _randomize_bn(net, seed=1):
+    import torch
+    g = torch.Generator().manual_seed(seed)
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm3d):
+            m.weight.data = torch.rand(m.weight.shape, generator=g) + 0.5
+            m.bias.data = torch.randn(m.bias.shape, generator=g) * 0.1
+            m.running_mean = torch.randn(m.running_mean.shape, generator=g)
+            m.running_var = torch.rand(m.running_var.shape, generator=g) + 0.5
+
+
+def test_slowfast_import_matches_torch_net():
+    """SLOWFAST pretrained-import path: a torch SlowFast with pyslowfast's
+    module naming/semantics (random conv weights + random frozen-BN stats,
+    eval mode) must produce the same embeddings as SlowFastR50
+    (norm="affine", incl. the s2d stem) after convert_slowfast. This is
+    the reference's flagship encoder import (models/models.py:565-580)
+    exercised end-to-end without the external pkl."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from avtex.nn.slowfast import SlowFastR50
+    from avtex.utils.convert import convert_slowfast
+
+    layers, width = (2, 1, 1, 1), 8
+    torch.manual_seed(0)
+    net = _torch_slowfast(layers, width)
+    _randomize_bn(net)
+    net.eval()
+
+    g = torch.Generator().manual_seed(2)
+    xf = torch.randn(2, 3, 8, 32, 32, generator=g)
+    xs = xf[:, :, 2::4]  # slow = every alpha-th fast frame
+    with torch.no_grad():
+        ref = net(xs, xf).numpy()
+
+    m = SlowFastR50(layers=layers, width=width, dtype=jnp.float32,
+                    norm="affine", s2d_stem=True)
+    to_ndhwc = lambda z: jnp.asarray(  # noqa: E731
+        z.numpy().transpose(0, 2, 3, 4, 1))
+    slow, fast = to_ndhwc(xs), to_ndhwc(xf)
+    params = jax.jit(m.init)(jax.random.key(0), slow, fast)
+    state = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = convert_slowfast(state, params, layers=layers)
+    ours = np.asarray(jax.jit(m.apply)(params, slow, fast))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_slowfast_c2_pkl_roundtrip(tmp_path):
+    """load_slowfast_state on a caffe2-format .pkl (the model-zoo artifact
+    the reference points at, models/models.py:573): blob names built with
+    the c2 scheme round-trip through _c2_name_to_pt into the same
+    converted params as the pytorch-format dict."""
+    import pickle
+
+    import torch
+
+    from avtex.utils.convert import load_slowfast_state
+
+    layers, width = (2, 1, 1, 1), 8
+    torch.manual_seed(5)
+    net = _torch_slowfast(layers, width)
+    _randomize_bn(net, seed=6)
+    state = {k: v.numpy() for k, v in net.state_dict().items()
+             if "num_batches" not in k}
+
+    # pt module name -> c2 blob name (inverse of convert._c2_name_to_pt)
+    def c2_name(pt):
+        base, _, leaf = pt.rpartition(".")
+        lf = {"weight": "w", "bias": "b", "running_mean": "rm",
+              "running_var": "riv"}[leaf]
+        import re
+        m = re.match(r"^s1\.pathway(\d)_stem\.(conv|bn)$", base)
+        if m:
+            fast = "_fast" if m.group(1) == "1" else ""
+            if m.group(2) == "conv":
+                return f"conv1{fast}_{lf}"
+            return f"res_conv1{fast}_bn_{'s' if lf == 'w' else lf}"
+        m = re.match(r"^s1_fuse\.(conv_f2s|bn)$", base)
+        if m:
+            bn = "_bn" if m.group(1) == "bn" else ""
+            lf2 = "s" if (bn and lf == "w") else lf
+            return f"t_pool1_subsample{bn}_{lf2}"
+        m = re.match(r"^s(\d)_fuse\.(conv_f2s|bn)$", base)
+        if m:
+            s = int(m.group(1)) - 1
+            bn = "_bn" if m.group(2) == "bn" else ""
+            lf2 = "s" if (bn and lf == "w") else lf
+            return f"t_res{s}_0_branch2c_bn_subsample{bn}_{lf2}"
+        m = re.match(
+            r"^s(\d)\.pathway(\d)_res(\d+)\.branch(1|2\.[a-c])(_bn)?$", base)
+        if m:
+            br = m.group(4).replace("2.", "2")
+            fast = "_fast" if m.group(2) == "1" else ""
+            bn = m.group(5) or ""
+            lf2 = "s" if (bn and lf == "w") else lf
+            return (f"res{m.group(1)}_{m.group(3)}_branch{br}{bn}"
+                    f"{fast}_{lf2}")
+        raise AssertionError(f"unmapped pt name {pt}")
+
+    blobs = {c2_name(k): v for k, v in state.items()}
+    pkl = tmp_path / "SLOWFAST_tiny.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+
+    loaded = load_slowfast_state(str(pkl))
+    assert set(loaded) == set(state), (
+        sorted(set(state) ^ set(loaded))[:10])
+    for k in state:
+        np.testing.assert_array_equal(loaded[k], state[k])
+
+
 def test_batching_utils_match_reference():
     """avtex.utils.batching vs the reference's torch implementations."""
     import importlib.util

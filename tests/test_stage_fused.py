@@ -31,15 +31,16 @@ def _make_block(g, cin, f, cout, proj):
 
 
 @pytest.mark.parametrize("stride", [1, 2])
-def test_fused_stage_matches_reference(stride):
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_fused_stage_matches_reference(stride, k):
     g = np.random.default_rng(0)
     cin, f, cout = 24, 16, 64
     blocks = [_make_block(g, cin, f, cout, True),
               _make_block(g, cout, f, cout, False)]
     x = _mk(g, 6, 16, 16, cin, scale=1).astype(jnp.bfloat16)
     ref = np.asarray(stage_reference(x, blocks, stride), np.float32)
-    got = np.asarray(fused_stage(x, blocks, stride, interpret=True),
-                     np.float32)
+    got = np.asarray(fused_stage(x, blocks, stride, interpret=True,
+                                 slices_per_step=k), np.float32)
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
 
 

@@ -254,3 +254,45 @@ def test_slomo_checkpoint_autoload(tmp_path, monkeypatch):
     f1 = np.full((32, 32, 3), 200, np.uint8)
     mids = fn(f0, f1, 2)
     assert mids.shape == (2, 32, 32, 3) and mids.dtype == np.uint8
+
+
+def test_device_walk_survivor_sampling_uniform():
+    """The device walk's argmax-of-noise race (engine.py step) must sample
+    uniformly over survivors (reference: validate.py:568-571 np.random.choice
+    over nonzero entries). Seeded chi-square over the first-step choice."""
+    import jax
+    import jax.numpy as jnp
+    from avtex.synth.engine import synthesize_indices
+
+    L, D = 8, 4
+    g = np.random.default_rng(7)
+    # positive-quadrant embeddings: all similarities > 0, so the whole
+    # candidate set survives at threshold=1.0 and normalization is stable
+    q = np.abs(g.standard_normal((L, D))).astype(np.float32)
+    t = np.abs(g.standard_normal((L, D))).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    qj, tj = jnp.asarray(q), jnp.asarray(t)
+
+    # threshold=1.0 -> every positive-prob candidate survives; from seed 0
+    # the candidate set is {1..7} (self excluded), so sampling must be
+    # uniform over those with positive renormalized probability.
+    seed = 0
+    probs = (q @ t.T)[seed] / 0.1
+    cand = np.ones(L, bool)
+    cand[seed] = False
+    row = np.where(cand, probs, 0.0)
+    row = row / row.sum()
+    survivors = np.flatnonzero(row > 0)
+
+    n_trials = 400
+    counts = np.zeros(L)
+    for i in range(n_trials):
+        r = synthesize_indices(qj, tj, 1, temp=0.1, threshold=1.0,
+                               seed_id=seed, rng=jax.random.key(i))
+        counts[int(r.indices[0])] += 1
+    assert counts[~np.isin(np.arange(L), survivors)].sum() == 0, counts
+    exp = n_trials / len(survivors)
+    chi2 = float(((counts[survivors] - exp) ** 2 / exp).sum())
+    # dof = len(survivors)-1; chi2 99.9th percentile for dof<=7 is < 24.3
+    assert chi2 < 24.3, (chi2, counts)

@@ -152,3 +152,71 @@ def test_single_batch_overfit(tiny_video):
     for _ in range(250):
         params, ostate, loss = step(params, ostate)
     assert float(loss) < 0.2, f"failed to overfit one batch: {float(loss)}"
+
+
+@pytest.mark.slow
+def test_trained_model_learns_loop_structure(tmp_path):
+    """Qualitative guard (reference product claim, validate.py:63-874): on
+    a procedurally generated clip with a TRUE loop (frame t == frame t+P),
+    training must (1) drive the InfoNCE loss well below its ln(1+negs)
+    start, (2) raise the walk's positive-successor probability vs random
+    init, and (3) concentrate jump targets on loop-equivalent segments
+    (delta a multiple of P/S). Catches a model that compiles fast but
+    learns nothing."""
+    import jax
+    from avtex.config import Config
+    from avtex.synth.embeddings import precompute_embeddings_from_video
+    from avtex.synth.engine import (num_synthesis_steps,
+                                    synthesize_indices_host)
+    from avtex.train import train_video
+    from avtex.contrastive.model import ContrastiveTextures
+
+    T, H, P = 64, 32, 24  # period P: frame t and t+P are identical
+    yy, xx = np.mgrid[0:H, 0:H]
+    phase = 2 * np.pi * np.arange(T) / P
+    vid = np.clip(
+        127 + 90 * np.sin(xx[None] / 5 + np.sin(phase)[:, None, None])
+        * np.cos(yy[None] / 7 + np.cos(phase)[:, None, None]),
+        0, 255)[..., None].repeat(3, -1).astype(np.uint8)
+    assert np.array_equal(vid[0], vid[P])  # true loop point
+
+    cfg = Config(enc_arch="resnet10", model_type=1, img_size=32, window=4,
+                 stride=2, train_stride=2, n_negs=4, batch_size=8,
+                 lr=0.03, seed=0, early_stop_loss=0.05)
+    state, history = train_video(cfg, vid, epochs=25)
+    assert history[-1] < 0.5 * history[0], history
+
+    model = ContrastiveTextures(arch=cfg.enc_arch, model_type=1,
+                                temp=cfg.temp)
+    W, S = cfg.window, cfg.stride
+    L = (T - W) // S
+    steps = num_synthesis_steps(3 * T, W, S)
+
+    def walk(params, th):
+        q, t = precompute_embeddings_from_video(
+            model, params, vid, W, S, L, img_size=32, batch_size=8)
+        return synthesize_indices_host(q, t, steps, temp=cfg.temp,
+                                       threshold=th, seed_id=2,
+                                       rng=np.random.default_rng(0))
+
+    trained = walk(state.params, 0.5)
+    import jax.numpy as jnp
+    from avtex.data.preprocess import preprocess_clip
+    xp = preprocess_clip(jnp.zeros((1, W, 32, 32, 3), jnp.uint8), size=32)
+    rand_params = jax.jit(model.init)(jax.random.key(1), xp, xp[:, None])
+    rand = walk(rand_params, 0.5)
+    assert trained.pos_prob.mean() > rand.pos_prob.mean(), (
+        trained.pos_prob.mean(), rand.pos_prob.mean())
+
+    # jumps land on loop-equivalent segments (delta % (P/S) == 0)
+    prev = np.concatenate([[trained.seed_id], trained.indices[:-1]])
+    deltas = (trained.indices - (prev + 1))[trained.jumps.astype(bool)]
+    if len(deltas):
+        on_loop = np.mean(deltas % (P // S) == 0)
+        assert on_loop >= 0.5, (on_loop, deltas)
+
+    # threshold monotonicity: tighter threshold -> fewer or equal jumps
+    tight = walk(state.params, 0.1)
+    loose = walk(state.params, 0.9)
+    assert tight.jumps.sum() <= loose.jumps.sum(), (
+        tight.jumps.sum(), loose.jumps.sum())

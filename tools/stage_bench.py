@@ -1,0 +1,121 @@
+"""A/B the whole-stage Pallas kernel vs XLA's native conv path on TPU.
+
+Target (VERDICT r2 #3): slow-res3 at embed batch 104 — [832, 56, 56, 320]
+-> [832, 28, 28, 512] — where round 2 measured: fused k=1 103 ms, XLA
+dot-general 139 ms, XLA native convs 52 ms. The k>1 row-concatenated
+kernel must beat 52 ms to enter the model path.
+
+All variants run interleaved in ONE process (pool noise makes
+cross-process numbers meaningless — CLAUDE.md). Timings fetch a scalar
+to host (block_until_ready does not reliably wait through the tunnel).
+
+Usage: python tools/stage_bench.py [--bt 832] [--reps 6] [--ks 1,2,4,8]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def fetch(x):
+    import jax.numpy as jnp
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bt", type=int, default=832)
+    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--ks", default="1,2,4,8")
+    ap.add_argument("--cin", type=int, default=320)
+    ap.add_argument("--f", type=int, default=128)
+    ap.add_argument("--hw", type=int, default=56)
+    ap.add_argument("--blocks", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from avtex.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    import flax.linen as nn
+
+    from avtex.nn.slowfast import SFBottleneck
+    from avtex.ops.stage_fused import fused_stage, stage_weights_from_params
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    # pool probe
+    a = jnp.ones((1024, 1024), jnp.bfloat16)
+    pf = jax.jit(lambda a: a @ a)
+    fetch(pf(a))
+    t0 = time.perf_counter()
+    fetch(pf(a))
+    print(f"pool probe {(time.perf_counter() - t0) * 1e3:.1f} ms",
+          file=sys.stderr)
+
+    f, cin, hw, n_blocks = args.f, args.cin, args.hw, args.blocks
+    cout = 4 * f
+
+    class Stage(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i in range(n_blocks):
+                x = SFBottleneck(f, 1, 2 if i == 0 else 1,
+                                 dtype=jnp.bfloat16, norm="affine",
+                                 fuse=False,
+                                 name=f"SFBottleneck_{2 * i}")(x)
+            return x
+
+    g = np.random.default_rng(0)
+    x5 = jnp.asarray(g.random((args.bt, 1, hw, hw, cin), np.float32) * 0.5,
+                     jnp.bfloat16)
+    m = Stage()
+    params = jax.jit(m.init)(jax.random.key(0), x5)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(
+            g.standard_normal(a.shape).astype(np.float32) * 0.05
+            + (1.0 if a.ndim == 1 else 0.0)), params)
+
+    xla_conv = jax.jit(lambda p, x: m.apply(p, x))
+    blocks = stage_weights_from_params(params, [2 * i for i in
+                                                range(n_blocks)])
+    x4 = x5.reshape((args.bt, hw, hw, cin))
+
+    variants = {"xla_conv": lambda: xla_conv(params, x5)}
+    for k in [int(s) for s in args.ks.split(",")]:
+        if args.bt % k:
+            continue
+        variants[f"fused_k{k}"] = (
+            lambda k=k: fused_stage(x4, blocks, stride=2,
+                                    slices_per_step=k))
+
+    # correctness cross-check on the first rep
+    want = np.asarray(xla_conv(params, x5), np.float32).reshape(
+        args.bt, hw // 2, hw // 2, cout)
+    got = np.asarray(variants[next(k for k in variants if k != "xla_conv")](),
+                     np.float32)
+    err = np.abs(got - want).max()
+    print(f"max |fused - xla| = {err:.4f}", file=sys.stderr)
+
+    times = {k: [] for k in variants}
+    for rep in range(args.reps):
+        for name, fn in variants.items():
+            t0 = time.perf_counter()
+            fetch(fn())
+            dt = time.perf_counter() - t0
+            times[name].append(dt)
+            print(f"rep {rep} {name}: {dt * 1e3:.1f} ms", file=sys.stderr,
+                  flush=True)
+
+    print({k: f"{min(v) * 1e3:.1f} ms (min of {len(v)})"
+           for k, v in times.items()})
+
+
+if __name__ == "__main__":
+    main()
