@@ -22,8 +22,8 @@ sys.path.insert(0, ".")
 
 
 def fetch(x):
-    import jax.numpy as jnp
-    return float(jnp.sum(x.astype(jnp.float32)))
+    """Force completion + host round trip of a (jit-produced) scalar."""
+    return float(np.asarray(x))
 
 
 def main():
@@ -52,7 +52,7 @@ def main():
 
     # pool probe
     a = jnp.ones((1024, 1024), jnp.bfloat16)
-    pf = jax.jit(lambda a: a @ a)
+    pf = jax.jit(lambda a: jnp.sum((a @ a).astype(jnp.float32)))
     fetch(pf(a))
     t0 = time.perf_counter()
     fetch(pf(a))
@@ -82,26 +82,45 @@ def main():
             g.standard_normal(a.shape).astype(np.float32) * 0.05
             + (1.0 if a.ndim == 1 else 0.0)), params)
 
-    xla_conv = jax.jit(lambda p, x: m.apply(p, x))
+    # Everything (pallas_call prep ops included) under ONE jit per
+    # variant, reduced to a scalar IN-GRAPH: eager ops and bulk fetches
+    # are pathological through the remote tunnel (CLAUDE.md).
+    import functools
+
     blocks = stage_weights_from_params(params, [2 * i for i in
                                                 range(n_blocks)])
     x4 = x5.reshape((args.bt, hw, hw, cin))
 
-    variants = {"xla_conv": lambda: xla_conv(params, x5)}
+    @jax.jit
+    def run_xla(p, x):
+        return jnp.sum(m.apply(p, x).astype(jnp.float32))
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_fused(x, bl, k):
+        out = fused_stage(x, bl, stride=2, slices_per_step=k)
+        return jnp.sum(out.astype(jnp.float32))
+
+    variants = {"xla_conv": lambda: run_xla(params, x5)}
     for k in [int(s) for s in args.ks.split(",")]:
         if args.bt % k:
             continue
-        variants[f"fused_k{k}"] = (
-            lambda k=k: fused_stage(x4, blocks, stride=2,
-                                    slices_per_step=k))
+        variants[f"fused_k{k}"] = lambda k=k: run_fused(x4, blocks, k)
 
-    # correctness cross-check on the first rep
-    want = np.asarray(xla_conv(params, x5), np.float32).reshape(
-        args.bt, hw // 2, hw // 2, cout)
-    got = np.asarray(variants[next(k for k in variants if k != "xla_conv")](),
-                     np.float32)
-    err = np.abs(got - want).max()
-    print(f"max |fused - xla| = {err:.4f}", file=sys.stderr)
+    # correctness cross-check — device-side compare, scalar fetch only
+    first_k = int(args.ks.split(",")[0])
+
+    @jax.jit
+    def check(p, x, bl):
+        want = m.apply(p, x).reshape(args.bt, hw // 2, hw // 2, cout)
+        got = fused_stage(x.reshape(args.bt, hw, hw, cin), bl, stride=2,
+                          slices_per_step=first_k)
+        d = jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32))
+        return jnp.max(d), jnp.max(jnp.abs(want.astype(jnp.float32)))
+
+    err, mx = (float(np.asarray(v)) for v in check(params, x5, blocks))
+    print(f"max |fused_k{first_k} - xla| = {err:.4f} "
+          f"(rel {err / mx:.5f}, |want|max {mx:.2f})",
+          file=sys.stderr, flush=True)
 
     times = {k: [] for k in variants}
     for rep in range(args.reps):
