@@ -1,16 +1,19 @@
 """Whole-residual-stage fusion: N bottlenecks in ONE Pallas kernel.
 
-Round-2 measurement (NOTES_r2 "Negative result: per-op Pallas fusion"):
-inserting per-op Pallas kernels into the XLA conv graph loses — every
-custom-call boundary forces XLA to re-lay-out the big activations. The
-conclusion was that the fusion has to swallow a whole stage so no
-conv-layout boundary survives. This module does that for the spatial
-stages (t_kernel == 1): each grid step loads ONE (b, t) activation slice
-into VMEM and runs the entire stage — every 1x1 conv as a matmul, every
-3x3 conv via in-VMEM im2col, folded-norm affines, residual adds and relus
-all in registers — then writes the stage output once. HBM traffic per
-slice: one read of the input, one write of the output, plus the
-(VMEM-resident) weights.
+STATUS (round 3, final): MEASURED SLOWER THAN XLA — kept as
+exactness-tested infrastructure only, never on the model path. On
+slow-res3 [832,56,56,320] -> [832,28,28,512] steady-state (healthy
+pool, jitted, in-process A/B): XLA native convs 45-48 ms, this kernel
+97 ms at k=1 and 103.6 ms at k=4. k>1 row-concatenation (this round)
+and python unrolling (round 2) both failed to close the gap — per-step
+overhead was never the cost; the in-VMEM tap-accumulation dataflow
+itself loses ~2.1x to XLA's conv emitters. See NOTES_r3.md.
+
+Round-2 motivation (kept for history): per-op Pallas insertion loses to
+custom-call relayouts, so the fusion must swallow a whole stage — each
+grid step loads k (b, t) activation slices into VMEM and runs the
+entire stage (1x1 convs as matmuls, 3x3 via in-VMEM im2col, folded-norm
+affines, residual adds, relus), writing the stage output once.
 
 Semantics are exactly SFBottleneck with norm="affine"
 (avtex/nn/slowfast.py): conv1 1x1 -> affine -> relu -> conv2 3x3 (SAME,
@@ -76,6 +79,12 @@ def _block_body(v, blk: BlockWeights, stride: int):
     cout = blk.w3.shape[1]
     ho, wo = h // stride, w // stride
 
+    if k == 1:
+        # Rank-3 fast path: Mosaic lowers 3D pad/slice/reshape onto the
+        # native (sublane, lane) tiling; the same ops with a leading unit
+        # axis (rank 4) measured ~500x slower on v5e (see NOTES_r3).
+        return _block_body_3d(v[0], blk, stride)[None]
+
     y = _affine_relu(_mm(v.reshape(k * h * w, cin), blk.w1), blk.s1, blk.b1)
     y = y.astype(jnp.bfloat16).reshape(k, h, w, f)
 
@@ -120,6 +129,43 @@ def _block_body(v, blk: BlockWeights, stride: int):
         r = v.reshape(k * ho * wo, cout).astype(jnp.float32)
     return jnp.maximum(y + r, 0.0).astype(jnp.bfloat16) \
         .reshape(k, ho, wo, cout)
+
+
+def _block_body_3d(v, blk: BlockWeights, stride: int):
+    """Rank-3 bottleneck body ([H, W, C] -> [H/s, W/s, C_out]) — the k=1
+    kernel path (round-2 formulation, torch-explicit padding)."""
+    h, w, cin = v.shape
+    f = blk.w1.shape[1]
+    cout = blk.w3.shape[1]
+    ho, wo = h // stride, w // stride
+
+    y = _affine_relu(_mm(v.reshape(h * w, cin), blk.w1), blk.s1, blk.b1)
+    y = y.astype(jnp.bfloat16).reshape(h, w, f)
+    yp = jnp.pad(y, ((1, 1), (1, 1), (0, 0)))
+
+    def tap(dh, dw):
+        t = jax.lax.slice(yp, (dh, dw, 0),
+                          (dh + ho * stride, dw + wo * stride, f))
+        if stride == 1:
+            return t
+        return t.reshape(ho, stride, wo, stride, f)[:, 0, :, 0, :]
+
+    w2 = blk.w2.reshape(3, 3, f, f)
+    acc = None
+    for dh in range(3):
+        for dw in range(3):
+            part = _mm(tap(dh, dw).reshape(ho * wo, f), w2[dh, dw])
+            acc = part if acc is None else acc + part
+    y = _affine_relu(acc, blk.s2, blk.b2).astype(jnp.bfloat16)
+    y = _mm(y, blk.w3) * blk.s3 + blk.b3
+
+    if blk.wp is not None:
+        vs = (v.reshape(ho, stride, wo, stride, cin)[:, 0, :, 0, :]
+              if stride > 1 else v).reshape(ho * wo, cin)
+        r = _affine_relu(_mm(vs, blk.wp), blk.sp, blk.bp, relu=False)
+    else:
+        r = v.reshape(ho * wo, cout).astype(jnp.float32)
+    return jnp.maximum(y + r, 0.0).astype(jnp.bfloat16).reshape(ho, wo, cout)
 
 
 def stage_reference(x: jnp.ndarray, blocks: Sequence[BlockWeights],
