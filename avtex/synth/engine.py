@@ -168,8 +168,36 @@ def synthesize_indices(q_table: jnp.ndarray, t_table: jnp.ndarray,
             ((0, steps_pad - audio_logits.shape[0]), (0, l_pad)),
             mode="edge")
 
-    outs = _walk(q_table, t_table, jnp.int32(L), temp, audio_logits,
-                 seed_id, steps_pad, alpha, threshold, rng)
+    # The persistent XLA cache never serves this scan program on the
+    # remote backend, so fresh processes used to pay the full walk
+    # compile. AOT executable persistence (avtex/utils/aot.py) closes
+    # that: the compiled walk for each (L-bucket, steps-bucket, ±audio)
+    # is serialized once and fresh-process loads take ~0.2 s (measured,
+    # tools/walk_aot_probe.py). Opt out with AVTEX_WALK_AOT=0.
+    import os
+    if os.environ.get("AVTEX_WALK_AOT", "1") == "1":
+        from avtex.utils.aot import cached_compile
+        Lp, D = q_table.shape
+        dyn = (q_table, t_table, jnp.int32(L), temp, audio_logits, seed_id)
+        key = (f"walk-v1-L{Lp}-D{D}-steps{steps_pad}"
+               f"-audio{int(audio_logits is not None)}-{q_table.dtype}")
+        try:
+            exe = cached_compile(
+                key,
+                lambda: jax.jit(_walk.__wrapped__,
+                                static_argnames=("num_steps",))
+                .lower(*dyn, num_steps=steps_pad, alpha=alpha,
+                       threshold=threshold, rng=rng).compile())
+            outs = exe(*dyn, alpha=alpha, threshold=threshold, rng=rng)
+        except Exception:
+            # e.g. args arrive with a sharding the cached executable was
+            # not built for — correctness beats the warm start.
+            outs = _walk(q_table, t_table, jnp.int32(L), temp,
+                         audio_logits, seed_id, steps_pad, alpha,
+                         threshold, rng)
+    else:
+        outs = _walk(q_table, t_table, jnp.int32(L), temp, audio_logits,
+                     seed_id, steps_pad, alpha, threshold, rng)
     sl = slice(0, num_steps)
     return SynthesisResult(
         seed_id=seed_id,

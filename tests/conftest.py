@@ -11,6 +11,12 @@ then override the *config* value back to cpu.
 """
 
 import os
+import tempfile
+
+# Keep test-compiled AOT executables (avtex/utils/aot.py) out of the
+# user's cache: 8-virtual-device CPU programs are useless elsewhere.
+os.environ.setdefault("AVTEX_AOT_CACHE",
+                      tempfile.mkdtemp(prefix="avtex_aot_test_"))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -32,12 +32,14 @@ L_BUCKET, STEPS = 128, 64
 
 
 def build_args():
+    """Dynamic args of _walk in positional order (num_steps is static and
+    passed separately); audio_logits=None stays in the pytree."""
     import jax
     import jax.numpy as jnp
     g = np.random.default_rng(0)
     q = jnp.asarray(g.random((L_BUCKET, 32)), jnp.float32)
     t = jnp.asarray(g.random((L_BUCKET, 32)), jnp.float32)
-    return (q, t, jnp.asarray(97), 0.1, None, 5, STEPS, 0.5, 0.5,
+    return (q, t, jnp.asarray(97), 0.1, None, 5, 0.5, 0.5,
             jax.random.key(0))
 
 
@@ -50,7 +52,9 @@ def serialize():
     args = build_args()
     t0 = time.perf_counter()
     lowered = jax.jit(
-        _walk.__wrapped__, static_argnames=("num_steps",)).lower(*args)
+        _walk.__wrapped__, static_argnames=("num_steps",)).lower(
+        *args[:6], num_steps=STEPS, alpha=args[6], threshold=args[7],
+        rng=args[8])
     compiled = lowered.compile()
     t_compile = time.perf_counter() - t0
     print(f"compile: {t_compile:.1f}s")
@@ -63,26 +67,44 @@ def serialize():
     print(f"serialize: {time.perf_counter() - t0:.2f}s, "
           f"{len(blob) / 1e6:.2f} MB")
 
-    out = compiled(*[a for a in args if a is not None])
+    out = compiled(*args[:6], alpha=args[6], threshold=args[7],
+                   rng=args[8])
     print("run ok:", np.asarray(out["idx"]).shape)
+
+
+def pool_probe():
+    """~30 ms healthy / can degrade 100x: 1024^2 matmul round trip."""
+    import jax
+    import jax.numpy as jnp
+    a = jnp.ones((1024, 1024), jnp.bfloat16)
+    f = jax.jit(lambda a: jnp.dot(a, a, preferred_element_type=jnp.bfloat16))
+    np.asarray(f(a))
+    t0 = time.perf_counter()
+    np.asarray(f(a))
+    print(f"pool probe: {(time.perf_counter() - t0) * 1000:.0f} ms",
+          flush=True)
 
 
 def load():
     import jax  # noqa: F401  (backend init)
     from jax.experimental import serialize_executable
 
+    pool_probe()
     t0 = time.perf_counter()
     with open(PATH, "rb") as f:
         payload = pickle.loads(f.read())
     compiled = serialize_executable.deserialize_and_load(*payload)
     t_load = time.perf_counter() - t0
-    print(f"deserialize_and_load: {t_load:.2f}s")
+    print(f"deserialize_and_load: {t_load:.2f}s", flush=True)
 
-    args = [a for a in build_args() if a is not None]
-    t0 = time.perf_counter()
-    out = compiled(*args)
-    idx = np.asarray(out["idx"])
-    print(f"first run: {time.perf_counter() - t0:.2f}s, idx {idx[:5]}")
+    args = build_args()
+    for tag in ("first", "second", "third"):
+        t0 = time.perf_counter()
+        out = compiled(*args[:6], alpha=args[6], threshold=args[7],
+                       rng=args[8])
+        idx = np.asarray(out["idx"])
+        print(f"{tag} run: {time.perf_counter() - t0:.2f}s, idx {idx[:5]}",
+              flush=True)
 
 
 if __name__ == "__main__":
