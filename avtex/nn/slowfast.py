@@ -42,7 +42,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .resnet3d import Affine, _norm
+from .resnet3d import Affine
 
 ALPHA = 4          # fast/slow frame-rate ratio
 BETA_INV = 8       # slow/fast channel ratio
@@ -172,6 +172,9 @@ class SlowFastR50(nn.Module):
     fusion_kernel: int = 7  # lateral conv temporal extent (SLOWFAST_8x8: 7)
     norm: str = "group"  # "affine" = folded frozen-BN (see resnet3d._norm)
     remat: bool = False  # checkpoint each bottleneck (training memory)
+    max_stage: int = 4   # perf-attribution knob (tools/embed_stage_bench):
+                         # run only res-stages < max_stage (0 = stems only).
+                         # Default 4 = the full network; not a model config.
     fuse: Any = False    # Pallas fused 1x1+affine+residual epilogues in
                          # affine mode: "all"/True | "conv3" | False.
                          # Default OFF: measured slower in-context (210 ->
@@ -188,14 +191,25 @@ class SlowFastR50(nn.Module):
         top = self.width * 8 * SFBottleneck.expansion
         return top + top // BETA_INV
 
-    def _lateral(self, fast, out_ch):
+    def _named_norm(self, ch: int, idx: int):
+        """Top-level norm with an explicit name equal to the auto-name it
+        had before round 3's fused-stem path (Affine_0..5/GroupNorm_0..5)
+        — explicit so the fused fast stem can own 'Affine_1' via a param
+        holder without colliding with flax's per-type auto-counter, while
+        every checkpoint tree stays byte-identical."""
+        if self.norm == "affine":
+            return Affine(ch, name=f"Affine_{idx}")
+        return nn.GroupNorm(num_groups=min(32, ch), dtype=jnp.float32,
+                            name=f"GroupNorm_{idx}")
+
+    def _lateral(self, fast, out_ch, norm_idx):
         """Fast->slow fusion: time-strided conv + norm + relu (pyslowfast
         FuseFastToSlow: conv_f2s/bn/relu then concat onto the slow path)."""
         fk = self.fusion_kernel
         y = nn.Conv(out_ch, (fk, 1, 1), (ALPHA, 1, 1),
                     padding=((fk // 2, fk // 2), (0, 0), (0, 0)),
                     use_bias=False, dtype=self.dtype)(fast)
-        return nn.relu(_norm(out_ch, self.dtype, self.norm)(y))
+        return nn.relu(self._named_norm(out_ch, norm_idx)(y))
 
     @nn.compact
     def __call__(self, slow: jnp.ndarray, fast: jnp.ndarray) -> jnp.ndarray:
@@ -208,13 +222,24 @@ class SlowFastR50(nn.Module):
         slow = nn.Conv(w, (1, 7, 7), (1, 2, 2),
                        padding=((0, 0), (3, 3), (3, 3)),
                        use_bias=False, dtype=self.dtype)(slow)
-        slow = nn.relu(_norm(w, self.dtype, self.norm)(slow))
-        # One param serves both stem implementations, so the s2d flag can
+        slow = nn.relu(self._named_norm(w, 0)(slow))
+        # One param serves every stem implementation, so the s2d flag can
         # flip on any checkpoint.
         k_fast = self.param(
             "fast_stem_kernel", nn.initializers.lecun_normal(),
             (5, 7, 7, fast.shape[-1], wf), jnp.float32).astype(self.dtype)
-        if self.s2d_stem and fast.shape[2] % 4 == 0 and fast.shape[3] % 4 == 0:
+        use_s2d = (self.s2d_stem and fast.shape[2] % 4 == 0
+                   and fast.shape[3] % 4 == 0)
+        fast_pooled = False
+        if use_s2d and self.norm == "affine":
+            # Whole fast stem (conv+affine+relu+pool) in s2d space: the
+            # de-s2d transpose/copy chain was ~18 ms of the batch-64
+            # embed (profiled round 3, tools/embed_stage_bench.py).
+            from avtex.ops.s2d_stem import fast_stem_s2d_pooled
+            sc, bi = _AffineParams(wf, name="Affine_1").get()
+            fast = fast_stem_s2d_pooled(fast, k_fast, sc, bi)
+            fast_pooled = True
+        elif use_s2d:
             from avtex.ops.s2d_stem import fast_stem_s2d
             fast = fast_stem_s2d(fast, k_fast)
         else:
@@ -223,12 +248,15 @@ class SlowFastR50(nn.Module):
                 fast, k_fast, (1, 2, 2), ((2, 2), (3, 3), (3, 3)),
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
                 preferred_element_type=self.dtype)
-        fast = nn.relu(_norm(wf, self.dtype, self.norm)(fast))
+        if not fast_pooled:
+            fast = nn.relu(self._named_norm(wf, 1)(fast))
         pool_pad = ((0, 0), (1, 1), (1, 1))
         slow = nn.max_pool(slow, (1, 3, 3), (1, 2, 2), padding=pool_pad)
-        fast = nn.max_pool(fast, (1, 3, 3), (1, 2, 2), padding=pool_pad)
+        if not fast_pooled:
+            fast = nn.max_pool(fast, (1, 3, 3), (1, 2, 2), padding=pool_pad)
         slow = jnp.concatenate(
-            [slow, self._lateral(fast, 2 * wf).astype(slow.dtype)], axis=-1)
+            [slow, self._lateral(fast, 2 * wf, 2).astype(slow.dtype)],
+            axis=-1)
 
         # slow temporal kernels per stage: res2/res3 degenerate, res4/res5 = 3.
         # nn.remat trades recompute for activation memory: the backward pass
@@ -240,6 +268,8 @@ class SlowFastR50(nn.Module):
         block_idx = 0
         slow_t = (1, 1, 3, 3)
         for i, n_blocks in enumerate(self.layers):
+            if i >= self.max_stage:
+                break
             feats = w * (2 ** i)
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
@@ -254,7 +284,7 @@ class SlowFastR50(nn.Module):
                 block_idx += 2
             if i != len(self.layers) - 1:
                 lateral = self._lateral(fast, 2 * (feats // BETA_INV)
-                                        * SFBottleneck.expansion)
+                                        * SFBottleneck.expansion, 3 + i)
                 slow = jnp.concatenate([slow, lateral.astype(slow.dtype)],
                                        axis=-1)
 

@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def s2d_stem_kernel(k: jnp.ndarray) -> jnp.ndarray:
@@ -85,3 +86,97 @@ def fast_stem_s2d(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
            .transpose(0, 1, 2, 4, 3, 5, 6)
            .reshape(b, t, 2 * oh, 2 * ow, o))
     return out[:, :, : h // 2, : w // 2]
+
+
+def _s2d4_via_conv(x: jnp.ndarray) -> jnp.ndarray:
+    """Space-to-depth by 4 expressed as a one-hot conv with the spatial
+    pads folded in — ONE streaming op instead of the pad + transpose +
+    reshape chain, which the TPU backend materializes as ~14 ms of layout
+    copies at batch 64 (profiled: copy.34/copy.35/copy.36 + pad.2 in the
+    stems HLO, 2026-08 round 3). The temporal pad is NOT applied here —
+    it folds into the following conv's padding.
+
+    x: [B, T, H, W, C] -> [B, T, (H+6+pad_r)/4, (W+6+pad_r)/4, 16*C]
+    with phase-major channels (u*4+v)*C + c, matching s2d_stem_kernel.
+    """
+    b, t, h, w, c = x.shape
+    pad_r_h = 3 + (-(h + 6)) % 4
+    pad_r_w = 3 + (-(w + 6)) % 4
+    eye = np.zeros((1, 4, 4, c, 16 * c), np.float32)
+    for u in range(4):
+        for v in range(4):
+            for ci in range(c):
+                eye[0, u, v, ci, (u * 4 + v) * c + ci] = 1.0
+    return jax.lax.conv_general_dilated(
+        x, jnp.asarray(eye, x.dtype), window_strides=(1, 4, 4),
+        padding=((0, 0), (3, pad_r_h), (3, pad_r_w)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+
+
+def _pool_des2d(y: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-2 pad-1 spatial maxpool of the DENSE [2H,2W] image,
+    computed directly from its s2d-by-2 phase planes — the de-s2d
+    transpose and the pool collapse into one elementwise max fusion.
+
+    y: [B, T, H, W, 4*O] phase-major ((a*2+b)*O + c, a=row phase).
+    Returns [B, T, H, W, O].
+
+    Derivation: dense tap 2i+d (d in {-1,0,1}) lives at s2d row
+    (i, phase 0/1) for d in {0,1} and (i-1, phase 1) for d = -1 — so the
+    pool's 3x3 window = max over {p00, p01, p10, p11} with the phase-1
+    planes additionally shifted by -1 (top/left -inf pad, exactly the
+    pool's pad=1 semantics; the dense window never reaches the bottom or
+    right edge pads).
+    """
+    o = y.shape[-1] // 4
+    p = [y[..., k * o:(k + 1) * o] for k in range(4)]
+
+    def sh(z, dh, dw):
+        h_, w_ = z.shape[2], z.shape[3]
+        pad = ((0, 0), (0, 0), (dh, 0), (dw, 0), (0, 0))
+        z = jnp.pad(z, pad, constant_values=-jnp.inf)
+        return z[:, :, :h_, :, :][:, :, :, :w_, :]
+
+    terms = [p[0], p[1], sh(p[1], 0, 1), p[2], sh(p[2], 1, 0),
+             p[3], sh(p[3], 0, 1), sh(p[3], 1, 0), sh(p[3], 1, 1)]
+    return functools.reduce(jnp.maximum, terms)
+
+
+def fast_stem_s2d_pooled(x: jnp.ndarray, k: jnp.ndarray,
+                         scale: jnp.ndarray,
+                         bias: jnp.ndarray) -> jnp.ndarray:
+    """The full fast-pathway stem — stride-(1,2,2) torch-padded conv,
+    per-channel affine (folded frozen BN), relu, 3x3 stride-2 pad-1
+    maxpool — computed end-to-end in s2d space:
+
+      1. input s2d by 4 as a one-hot conv (pads folded; no transposes),
+      2. the (kt,3,3,16C,4O) scattered-weight conv (T pad folded),
+      3. affine+relu on phase-major channels (scale/bias tiled 4x),
+      4. pool + de-s2d as a 9-slice max (_pool_des2d).
+
+    Exactly equals (fp32)
+      max_pool(relu(conv(x) * scale + bias), (3,3), (2,2), pad 1)
+    and replaces ~18 ms of layout copies around the batch-64 stem with
+    streaming ops (see tools/stem_bench.py for the A/B).
+
+    Affine-norm inference path only: GroupNorm needs dense-layout stats
+    ordering and keeps the fast_stem_s2d + module-norm + max_pool chain.
+    """
+    assert x.shape[2] % 4 == 0 and x.shape[3] % 4 == 0, (
+        "fast_stem_s2d_pooled requires H, W divisible by 4 "
+        f"(got {x.shape}); VALID s2d-conv rows are exact only then")
+    kt = k.shape[0]
+    x4 = _s2d4_via_conv(x)
+    kp = s2d_stem_kernel(k)
+    y = jax.lax.conv_general_dilated(
+        x4, kp, window_strides=(1, 1, 1),
+        padding=((kt // 2, kt // 2), (0, 0), (0, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=x.dtype)
+    # y: [B, T, H//4, W//4, 4*O] — exact (pad_r extends H+6 to a multiple
+    # of 4, and (H+8)/4 - 2 == H//4 when H % 4 == 0)
+    sc = jnp.tile(scale.astype(y.dtype), 4)
+    bi = jnp.tile(bias.astype(y.dtype), 4)
+    y = jax.nn.relu(y * sc + bi)
+    return _pool_des2d(y)
