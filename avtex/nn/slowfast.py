@@ -161,8 +161,12 @@ class SlowFastR50(nn.Module):
     ``s2d_stem`` (default on): run the fast-pathway stem via the
     space-to-depth re-expression (avtex/ops/s2d_stem.py — exact same
     arithmetic, 4x the MXU output lanes; measured 212 vs 236 ms on the
-    batch-128 affine embed). Weight shapes are identical either way, so
-    the flag can be flipped on trained checkpoints.
+    batch-128 affine embed). In affine (inference) mode BOTH stems run
+    fully fused in s2d space (conv+affine+relu+pool, no de-s2d layout
+    round trip); the slow stem is the kt=1 case of the same transform
+    and its 3-channel conv is the worst MXU-filler in the trunk.
+    Weight shapes are identical either way, so the flag can be flipped
+    on trained checkpoints.
     """
 
     layers: Sequence[int] = (3, 4, 6, 3)
@@ -204,11 +208,16 @@ class SlowFastR50(nn.Module):
 
     def _lateral(self, fast, out_ch, norm_idx):
         """Fast->slow fusion: time-strided conv + norm + relu (pyslowfast
-        FuseFastToSlow: conv_f2s/bn/relu then concat onto the slow path)."""
+        FuseFastToSlow: conv_f2s/bn/relu then concat onto the slow path).
+        The conv name is pinned to its pre-round-3 auto-name (Conv_1..4,
+        after the slow stem's Conv_0) so the fused-slow-stem path — which
+        replaces the stem nn.Conv with a param holder and would otherwise
+        reset the auto-counter — keeps the checkpoint tree byte-identical."""
         fk = self.fusion_kernel
         y = nn.Conv(out_ch, (fk, 1, 1), (ALPHA, 1, 1),
                     padding=((fk // 2, fk // 2), (0, 0), (0, 0)),
-                    use_bias=False, dtype=self.dtype)(fast)
+                    use_bias=False, dtype=self.dtype,
+                    name=f"Conv_{norm_idx - 1}")(fast)
         return nn.relu(self._named_norm(out_ch, norm_idx)(y))
 
     @nn.compact
@@ -219,17 +228,33 @@ class SlowFastR50(nn.Module):
         wf = w // BETA_INV
 
         # Stems: slow has no temporal extent, fast a 5-frame one.
-        slow = nn.Conv(w, (1, 7, 7), (1, 2, 2),
-                       padding=((0, 0), (3, 3), (3, 3)),
-                       use_bias=False, dtype=self.dtype)(slow)
-        slow = nn.relu(self._named_norm(w, 0)(slow))
+        use_s2d = (self.s2d_stem and fast.shape[2] % 4 == 0
+                   and fast.shape[3] % 4 == 0)
+        slow_pooled = False
+        if use_s2d and self.norm == "affine":
+            # The slow stem is the kt=1 case of the same stride-(1,2,2)
+            # torch-padded stem conv: its 3 input channels fill 3 of the
+            # MXU's 128 lanes, so run the whole stem (conv+affine+relu+
+            # pool) through the s2d-by-4 re-expression too (48-channel
+            # contraction, 256 output lanes). Param tree unchanged: the
+            # holder owns Conv_0/kernel exactly as nn.Conv did.
+            from avtex.ops.s2d_stem import fast_stem_s2d_pooled
+            k_slow = _ConvKernel((1, 7, 7, slow.shape[-1], w),
+                                 name="Conv_0").get().astype(self.dtype)
+            sc0, bi0 = _AffineParams(w, name="Affine_0").get()
+            slow = fast_stem_s2d_pooled(slow, k_slow, sc0, bi0)
+            slow_pooled = True
+        else:
+            slow = nn.Conv(w, (1, 7, 7), (1, 2, 2),
+                           padding=((0, 0), (3, 3), (3, 3)),
+                           use_bias=False, dtype=self.dtype,
+                           name="Conv_0")(slow)
+            slow = nn.relu(self._named_norm(w, 0)(slow))
         # One param serves every stem implementation, so the s2d flag can
         # flip on any checkpoint.
         k_fast = self.param(
             "fast_stem_kernel", nn.initializers.lecun_normal(),
             (5, 7, 7, fast.shape[-1], wf), jnp.float32).astype(self.dtype)
-        use_s2d = (self.s2d_stem and fast.shape[2] % 4 == 0
-                   and fast.shape[3] % 4 == 0)
         fast_pooled = False
         if use_s2d and self.norm == "affine":
             # Whole fast stem (conv+affine+relu+pool) in s2d space: the
@@ -251,7 +276,8 @@ class SlowFastR50(nn.Module):
         if not fast_pooled:
             fast = nn.relu(self._named_norm(wf, 1)(fast))
         pool_pad = ((0, 0), (1, 1), (1, 1))
-        slow = nn.max_pool(slow, (1, 3, 3), (1, 2, 2), padding=pool_pad)
+        if not slow_pooled:
+            slow = nn.max_pool(slow, (1, 3, 3), (1, 2, 2), padding=pool_pad)
         if not fast_pooled:
             fast = nn.max_pool(fast, (1, 3, 3), (1, 2, 2), padding=pool_pad)
         slow = jnp.concatenate(

@@ -1,4 +1,9 @@
-"""Space-to-depth re-expression of the SlowFast fast-pathway stem.
+"""Space-to-depth re-expression of the SlowFast stem convolutions.
+
+Written for the fast-pathway stem (the names below keep that history);
+every entry point is generic over the temporal kernel extent, and the
+slow stem — the kt=1, O=64 case of the same stride-(1,2,2) 7x7 conv —
+uses `fast_stem_s2d_pooled` too (avtex/nn/slowfast.py, affine mode).
 
 The stem conv bf16[B,32,224,224,3] ⊛ (5,7,7,3,8) -> [B,32,112,112,8] is the
 single hottest op of the embed path (profiled ~30 % of device time at ~5 %
@@ -114,23 +119,46 @@ def _s2d4_via_conv(x: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=x.dtype)
 
 
+POOL_IMPL = "rw"  # "rw" | "slice9" — see _pool_des2d
+
+
 def _pool_des2d(y: jnp.ndarray) -> jnp.ndarray:
     """3x3 stride-2 pad-1 spatial maxpool of the DENSE [2H,2W] image,
     computed directly from its s2d-by-2 phase planes — the de-s2d
-    transpose and the pool collapse into one elementwise max fusion.
+    transpose and the pool collapse into streaming max ops.
 
     y: [B, T, H, W, 4*O] phase-major ((a*2+b)*O + c, a=row phase).
     Returns [B, T, H, W, O].
 
     Derivation: dense tap 2i+d (d in {-1,0,1}) lives at s2d row
-    (i, phase 0/1) for d in {0,1} and (i-1, phase 1) for d = -1 — so the
-    pool's 3x3 window = max over {p00, p01, p10, p11} with the phase-1
-    planes additionally shifted by -1 (top/left -inf pad, exactly the
-    pool's pad=1 semantics; the dense window never reaches the bottom or
-    right edge pads).
+    (i, phase 0/1) for d in {0,1} and (i-1, phase 1) for d = -1; columns
+    are independent, so the 3x3 dense window is SEPARABLE per phase:
+    phase (a,b)'s contribution is a (1+a)x(1+b) windowed max with
+    top/left -inf pad a/b (exactly the pool's pad=1 semantics; the dense
+    window never reaches the bottom or right edge pads).
+
+    Two exact implementations (POOL_IMPL / the ``impl`` argument):
+
+    - "rw" (default): per-phase `lax.reduce_window` + a 4-way max. Each
+      phase plane is read once with a local access pattern.
+    - "slice9": 9 shifted-slice terms reduced by jnp.maximum. Measured
+      SLOWER at batch 64 (slow pool 9.2 ms vs the conv's own 2.3 ms):
+      XLA materializes the shifted pad copies as full-tensor fusions
+      (profiled round 3, tools/op_trace.py).
     """
     o = y.shape[-1] // 4
     p = [y[..., k * o:(k + 1) * o] for k in range(4)]
+
+    if POOL_IMPL == "rw":
+        neg = jnp.array(-jnp.inf, y.dtype)
+
+        def rw(z, wh, ww):
+            return jax.lax.reduce_window(
+                z, neg, jax.lax.max, (1, 1, wh, ww, 1), (1, 1, 1, 1, 1),
+                ((0, 0), (0, 0), (wh - 1, 0), (ww - 1, 0), (0, 0)))
+
+        return jnp.maximum(jnp.maximum(p[0], rw(p[1], 1, 2)),
+                           jnp.maximum(rw(p[2], 2, 1), rw(p[3], 2, 2)))
 
     def sh(z, dh, dw):
         h_, w_ = z.shape[2], z.shape[3]

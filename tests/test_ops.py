@@ -45,11 +45,12 @@ def test_s2d_stem_exact_equivalence(rng):
 
 def test_s2d_stem_pooled_exact_equivalence(rng):
     """The fused stem (s2d-via-conv + conv + affine/relu in s2d space +
-    9-slice pool-de-s2d max) must equal the unfused chain conv -> affine
-    -> relu -> max_pool(3, stride 2, pad 1) exactly (fp32 tolerance)."""
+    pool-de-s2d max, BOTH pool impls) must equal the unfused chain conv
+    -> affine -> relu -> max_pool(3, stride 2, pad 1) exactly (fp32)."""
     import flax.linen as nn
     import jax
     import jax.numpy as jnp
+    from avtex.ops import s2d_stem
     from avtex.ops.s2d_stem import fast_stem_s2d_pooled
 
     x = jnp.asarray(rng.standard_normal((2, 6, 16, 20, 3)), jnp.float32)
@@ -58,6 +59,37 @@ def test_s2d_stem_pooled_exact_equivalence(rng):
     bias = jnp.asarray(rng.standard_normal(8), jnp.float32)   # folded BN
     y = jax.lax.conv_general_dilated(
         x, k, (1, 2, 2), ((2, 2), (3, 3), (3, 3)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    ref = nn.max_pool(jax.nn.relu(y * scale + bias), (1, 3, 3), (1, 2, 2),
+                      padding=((0, 0), (1, 1), (1, 1)))
+    orig = s2d_stem.POOL_IMPL
+    try:
+        for impl in ("rw", "slice9"):
+            s2d_stem.POOL_IMPL = impl
+            out = fast_stem_s2d_pooled(x, k, scale, bias)
+            assert out.shape == ref.shape
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"pool impl {impl}")
+    finally:
+        s2d_stem.POOL_IMPL = orig
+
+
+def test_s2d_stem_pooled_kt1_slow_stem(rng):
+    """kt=1 (the SLOW stem's geometry: no temporal extent, 64 outputs)
+    through the fused s2d stem must equal the unfused chain — this is the
+    configuration avtex/nn/slowfast.py routes the slow pathway through."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from avtex.ops.s2d_stem import fast_stem_s2d_pooled
+
+    x = jnp.asarray(rng.standard_normal((2, 3, 16, 20, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 7, 7, 3, 16)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    y = jax.lax.conv_general_dilated(
+        x, k, (1, 2, 2), ((0, 0), (3, 3), (3, 3)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     ref = nn.max_pool(jax.nn.relu(y * scale + bias), (1, 3, 3), (1, 2, 2),
                       padding=((0, 0), (1, 1), (1, 1)))

@@ -69,13 +69,35 @@ def main():
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def run(p, s, f, k):
-        m = SlowFastR50(norm="affine", max_stage=k)
+    @functools.partial(jax.jit, static_argnames=("k", "s2d"))
+    def run(p, s, f, k, s2d=True):
+        m = SlowFastR50(norm="affine", max_stage=k, s2d_stem=s2d)
         return jnp.sum(m.apply(p, s, f).astype(jnp.float32))
 
     variants = {f"stage<={k - 1}" if k else "stems": (lambda k=k: run(
         params, slow, fast, k)) for k in range(5)}
+    # In-process A/B of the s2d stem re-expression (both stems dense vs
+    # both fused; one param tree serves both by construction).
+    variants["stems_dense"] = lambda: run(params, slow, fast, 0, s2d=False)
+    variants["full_dense_stems"] = lambda: run(params, slow, fast, 4,
+                                               s2d=False)
+
+    # A/B the de-s2d pool implementation (module-global read at trace
+    # time; setting it before every call pins the first-trace behavior,
+    # later calls are cache hits keyed by the distinct jit closure).
+    from avtex.ops import s2d_stem as _s2d
+
+    def pool_variant(k, impl):
+        m = jax.jit(lambda p, s, f, _k=k: jnp.sum(SlowFastR50(
+            norm="affine", max_stage=_k).apply(p, s, f).astype(jnp.float32)))
+
+        def call():
+            _s2d.POOL_IMPL = impl
+            return m(params, slow, fast)
+        return call
+
+    variants["stems_slice9"] = pool_variant(0, "slice9")
+    variants["full_slice9"] = pool_variant(4, "slice9")
 
     for name, fn in variants.items():
         tw = time.perf_counter()
