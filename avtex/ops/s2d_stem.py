@@ -36,19 +36,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def s2d_stem_kernel(k: jnp.ndarray) -> jnp.ndarray:
-    """(kt,7,7,C,O) stride-2 stem weights -> (kt,3,3,16*C,4*O) s2d weights."""
+def s2d_stem_kernel(k: jnp.ndarray, f: int = 4) -> jnp.ndarray:
+    """(kt,7,7,C,O) stride-2 stem weights -> s2d-by-``f`` scattered weights.
+
+    f=4: (kt,3,3,16C,4O) — 4x the output lanes (the original transform).
+    f=8: (kt,2,2,64C,16O) — 16x the lanes; with O=8 (the fast stem) the
+    128-lane MXU is exactly full. Same derivation with 2a+kh = f*dU + u.
+    """
     kt, kh_n, kw_n, c, o = k.shape
     assert kh_n == 7 and kw_n == 7
-    out = jnp.zeros((kt, 3, 3, 16 * c, 4 * o), dtype=k.dtype)
-    for a in range(2):
-        for b in range(2):
+    op = f // 2
+    ksz = (2 * (op - 1) + 6) // f + 1
+    out = jnp.zeros((kt, ksz, ksz, f * f * c, op * op * o), dtype=k.dtype)
+    for a in range(op):
+        for b in range(op):
             for kh in range(7):
                 for kw in range(7):
-                    du, u = divmod(2 * a + kh, 4)
-                    dv, v = divmod(2 * b + kw, 4)
-                    ci = (u * 4 + v) * c
-                    oi = (a * 2 + b) * o
+                    du, u = divmod(2 * a + kh, f)
+                    dv, v = divmod(2 * b + kw, f)
+                    ci = (u * f + v) * c
+                    oi = (a * op + b) * o
                     out = out.at[:, du, dv, ci:ci + c, oi:oi + o].set(
                         k[:, kh, kw])
     return out
@@ -93,27 +100,27 @@ def fast_stem_s2d(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return out[:, :, : h // 2, : w // 2]
 
 
-def _s2d4_via_conv(x: jnp.ndarray) -> jnp.ndarray:
-    """Space-to-depth by 4 expressed as a one-hot conv with the spatial
-    pads folded in — ONE streaming op instead of the pad + transpose +
-    reshape chain, which the TPU backend materializes as ~14 ms of layout
-    copies at batch 64 (profiled: copy.34/copy.35/copy.36 + pad.2 in the
-    stems HLO, 2026-08 round 3). The temporal pad is NOT applied here —
-    it folds into the following conv's padding.
+def _s2d_via_conv(x: jnp.ndarray, f: int = 4) -> jnp.ndarray:
+    """Space-to-depth by ``f`` expressed as a one-hot conv with the
+    spatial pads folded in — ONE streaming op instead of the pad +
+    transpose + reshape chain, which the TPU backend materializes as
+    ~14 ms of layout copies at batch 64 (profiled: copy.34/copy.35/
+    copy.36 + pad.2 in the stems HLO, 2026-08 round 3). The temporal pad
+    is NOT applied here — it folds into the following conv's padding.
 
-    x: [B, T, H, W, C] -> [B, T, (H+6+pad_r)/4, (W+6+pad_r)/4, 16*C]
-    with phase-major channels (u*4+v)*C + c, matching s2d_stem_kernel.
+    x: [B, T, H, W, C] -> [B, T, (H+6+pad_r)/f, (W+6+pad_r)/f, f*f*C]
+    with phase-major channels (u*f+v)*C + c, matching s2d_stem_kernel.
     """
     b, t, h, w, c = x.shape
-    pad_r_h = 3 + (-(h + 6)) % 4
-    pad_r_w = 3 + (-(w + 6)) % 4
-    eye = np.zeros((1, 4, 4, c, 16 * c), np.float32)
-    for u in range(4):
-        for v in range(4):
+    pad_r_h = 3 + (-(h + 6)) % f
+    pad_r_w = 3 + (-(w + 6)) % f
+    eye = np.zeros((1, f, f, c, f * f * c), np.float32)
+    for u in range(f):
+        for v in range(f):
             for ci in range(c):
-                eye[0, u, v, ci, (u * 4 + v) * c + ci] = 1.0
+                eye[0, u, v, ci, (u * f + v) * c + ci] = 1.0
     return jax.lax.conv_general_dilated(
-        x, jnp.asarray(eye, x.dtype), window_strides=(1, 4, 4),
+        x, jnp.asarray(eye, x.dtype), window_strides=(1, f, f),
         padding=((0, 0), (3, pad_r_h), (3, pad_r_w)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=x.dtype)
@@ -171,22 +178,44 @@ def _pool_des2d(y: jnp.ndarray) -> jnp.ndarray:
     return functools.reduce(jnp.maximum, terms)
 
 
+STEM_F = None  # None = auto; 4|8 pins the factor for A/B tooling
+
+
+def _refold_8_to_4(y: jnp.ndarray) -> jnp.ndarray:
+    """f=8 conv output [B,T,Hb,Wb,16O] (4x4 spatial phases, phase-major
+    (a*4+b)*O) -> the f=4 layout [B,T,2Hb,2Wb,4O] the pool consumes.
+
+    Dense row 4I+a = 2*(2I + a//2) + a%2, so the high phase bit becomes
+    the new block row and the low bit the f=4 row phase (same per axis).
+    One transpose-copy; XLA fuses the preceding affine+relu into it.
+    """
+    b, t, hb, wb, cc = y.shape
+    o = cc // 16
+    y = y.reshape(b, t, hb, wb, 2, 2, 2, 2, o)   # [ah, al, bh, bl, o]
+    y = y.transpose(0, 1, 2, 4, 3, 6, 5, 7, 8)   # b,t,hb,ah,wb,bh,al,bl,o
+    return y.reshape(b, t, 2 * hb, 2 * wb, 4 * o)
+
+
 def fast_stem_s2d_pooled(x: jnp.ndarray, k: jnp.ndarray,
                          scale: jnp.ndarray,
                          bias: jnp.ndarray) -> jnp.ndarray:
-    """The full fast-pathway stem — stride-(1,2,2) torch-padded conv,
-    per-channel affine (folded frozen BN), relu, 3x3 stride-2 pad-1
-    maxpool — computed end-to-end in s2d space:
+    """The full stem — stride-(1,2,2) torch-padded conv, per-channel
+    affine (folded frozen BN), relu, 3x3 stride-2 pad-1 maxpool —
+    computed end-to-end in s2d space:
 
-      1. input s2d by 4 as a one-hot conv (pads folded; no transposes),
-      2. the (kt,3,3,16C,4O) scattered-weight conv (T pad folded),
-      3. affine+relu on phase-major channels (scale/bias tiled 4x),
-      4. pool + de-s2d as a 9-slice max (_pool_des2d).
+      1. input s2d by f as a one-hot conv (pads folded; no transposes),
+      2. the scattered-weight conv (T pad folded) — f=4: (kt,3,3,16C,4O);
+         f=8: (kt,2,2,64C,16O), filling all 128 MXU lanes when O=8 (the
+         fast stem, whose f=4 conv at 32 lanes was the single largest op
+         of the embed program — tools/op_trace.py, round 3),
+      3. affine+relu on phase-major channels (scale/bias tiled),
+      4. f=8 only: refold the 4x4 output phases to the f=4 layout (one
+         transpose, fused with 3),
+      5. pool + de-s2d as separable per-phase reduce_window
+         (_pool_des2d).
 
     Exactly equals (fp32)
-      max_pool(relu(conv(x) * scale + bias), (3,3), (2,2), pad 1)
-    and replaces ~18 ms of layout copies around the batch-64 stem with
-    streaming ops (see tools/stem_bench.py for the A/B).
+      max_pool(relu(conv(x) * scale + bias), (3,3), (2,2), pad 1).
 
     Affine-norm inference path only: GroupNorm needs dense-layout stats
     ordering and keeps the fast_stem_s2d + module-norm + max_pool chain.
@@ -194,17 +223,31 @@ def fast_stem_s2d_pooled(x: jnp.ndarray, k: jnp.ndarray,
     assert x.shape[2] % 4 == 0 and x.shape[3] % 4 == 0, (
         "fast_stem_s2d_pooled requires H, W divisible by 4 "
         f"(got {x.shape}); VALID s2d-conv rows are exact only then")
-    kt = k.shape[0]
-    x4 = _s2d4_via_conv(x)
-    kp = s2d_stem_kernel(k)
+    kt, o = k.shape[0], k.shape[-1]
+    # Auto = f=4. f=8 fills all 128 MXU lanes for the O=8 fast stem but
+    # measured a WASH in-context at batch 64 (stems 65.4 vs 65.2 ms,
+    # full trunk 142.4 vs 145.4 — within pool noise, 2026-08 round 3):
+    # the conv is not lane-limited at these shapes, and the 4x4-phase
+    # refold spends what the extra lanes save. Kept opt-in (STEM_F=8,
+    # exactness-tested) for future hardware where the balance differs.
+    f = STEM_F or 4
+    if f == 8 and not (o <= 8 and x.shape[2] % 8 == 0
+                       and x.shape[3] % 8 == 0):
+        f = 4
+    xf = _s2d_via_conv(x, f)
+    kp = s2d_stem_kernel(k, f)
     y = jax.lax.conv_general_dilated(
-        x4, kp, window_strides=(1, 1, 1),
+        xf, kp, window_strides=(1, 1, 1),
         padding=((kt // 2, kt // 2), (0, 0), (0, 0)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         preferred_element_type=x.dtype)
-    # y: [B, T, H//4, W//4, 4*O] — exact (pad_r extends H+6 to a multiple
-    # of 4, and (H+8)/4 - 2 == H//4 when H % 4 == 0)
-    sc = jnp.tile(scale.astype(y.dtype), 4)
-    bi = jnp.tile(bias.astype(y.dtype), 4)
+    # y: [B, T, H//f, W//f, (f/2)^2*O] — exact (pad_r extends H+6 to a
+    # multiple of f, and the VALID window count lands on H//f when
+    # H % f == 0)
+    reps = (f // 2) ** 2
+    sc = jnp.tile(scale.astype(y.dtype), reps)
+    bi = jnp.tile(bias.astype(y.dtype), reps)
     y = jax.nn.relu(y * sc + bi)
+    if f == 8:
+        y = _refold_8_to_4(y)
     return _pool_des2d(y)

@@ -75,6 +75,40 @@ def test_s2d_stem_pooled_exact_equivalence(rng):
         s2d_stem.POOL_IMPL = orig
 
 
+def test_s2d_stem_pooled_f8_exact(rng):
+    """f=8 (full-MXU-lane fast-stem geometry: O=8, H,W divisible by 8;
+    opt-in via STEM_F — measured a wash vs f=4 in-context, kept as
+    exactness-tested infrastructure) must equal the unfused chain
+    exactly, including the 4x4-phase refold before the pool."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from avtex.ops import s2d_stem
+    from avtex.ops.s2d_stem import fast_stem_s2d_pooled
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 16, 24, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((5, 7, 7, 3, 8)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    y = jax.lax.conv_general_dilated(
+        x, k, (1, 2, 2), ((2, 2), (3, 3), (3, 3)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    ref = nn.max_pool(jax.nn.relu(y * scale + bias), (1, 3, 3), (1, 2, 2),
+                      padding=((0, 0), (1, 1), (1, 1)))
+    try:
+        s2d_stem.STEM_F = 8
+        out8 = fast_stem_s2d_pooled(x, k, scale, bias)
+    finally:
+        s2d_stem.STEM_F = None
+    assert out8.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # and the default f=4 on the same inputs agrees too
+    out4 = fast_stem_s2d_pooled(x, k, scale, bias)
+    np.testing.assert_allclose(np.asarray(out4), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_s2d_stem_pooled_kt1_slow_stem(rng):
     """kt=1 (the SLOW stem's geometry: no temporal extent, 64 outputs)
     through the fused s2d stem must equal the unfused chain — this is the

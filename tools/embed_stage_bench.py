@@ -99,6 +99,24 @@ def main():
     variants["stems_slice9"] = pool_variant(0, "slice9")
     variants["full_slice9"] = pool_variant(4, "slice9")
 
+    # A/B the fast-stem s2d factor (default 4; 8 measured a wash, kept
+    # opt-in — see avtex/ops/s2d_stem.py).
+    def stem_f_variant(k, fval):
+        m = jax.jit(lambda p, s, f, _k=k: jnp.sum(SlowFastR50(
+            norm="affine", max_stage=_k).apply(p, s, f).astype(jnp.float32)))
+
+        def call():
+            _s2d.POOL_IMPL = "rw"
+            _s2d.STEM_F = fval
+            try:
+                return m(params, slow, fast)
+            finally:
+                _s2d.STEM_F = None
+        return call
+
+    variants["stems_f8"] = stem_f_variant(0, 8)
+    variants["full_f8"] = stem_f_variant(4, 8)
+
     for name, fn in variants.items():
         tw = time.perf_counter()
         fetch(fn())

@@ -56,25 +56,32 @@ def parse_xspace(logdir: str, top: int):
             continue
         print(f"== plane {plane.name}: {total_ps / 1e9:.3f} ms total "
               f"device-op time")
+        # Category rollup: the program event (jit_*) measures whole-run
+        # device time; op events attribute it (they overlap-sum higher
+        # because async copies run concurrently with compute).
+        cats = collections.Counter()
+        for name, ps in per_op.items():
+            if name.startswith("jit_"):
+                cat = "[whole program]"
+            else:
+                base = name.split(" = ", 1)[0].lstrip("%")
+                cat = base.rstrip("0123456789.").rstrip("-_")
+                if "fusion" in cat:
+                    # kind is in the RHS: fusion(...), kind=kLoop/kOutput
+                    kind = ("kOutput" if "kind=kOutput" in name else
+                            "kLoop" if "kind=kLoop" in name else "fusion")
+                    cat = f"fusion:{kind}"
+            cats[cat] += ps
+        for cat, ps in cats.most_common(12):
+            print(f"  cat {ps / 1e9:9.3f} ms  {cat}")
         for name, ps in per_op.most_common(top):
             print(f"  {ps / 1e9:8.3f} ms  x{counts[name]:<3d} {name}")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--res", type=int, default=224)
-    ap.add_argument("--max-stage", type=int, default=0)
-    ap.add_argument("--s2d", type=int, default=1)
-    ap.add_argument("--reps", type=int, default=2)
-    ap.add_argument("--top", type=int, default=25)
-    args = ap.parse_args()
-
+def make_trunk_runner(args):
     import jax
     import jax.numpy as jnp
 
-    from avtex.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
     from avtex.nn.slowfast import SlowFastR50, slowfast_pathways
 
     g = np.random.default_rng(0)
@@ -92,19 +99,75 @@ def main():
         m = SlowFastR50(norm="affine", max_stage=k, s2d_stem=s2d)
         return jnp.sum(m.apply(p, s, f).astype(jnp.float32))
 
-    fetch = lambda x: float(np.asarray(x))  # noqa: E731
+    return lambda: float(np.asarray(
+        run(params, slow, fast, args.max_stage, bool(args.s2d))))
+
+
+def make_embed_runner(args):
+    """The PRODUCTION embed step bench.py times: on-device window gather
+    + preprocess + pathways + both towers, one jit (_embed_both_fn)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avtex.contrastive.model import ContrastiveTextures
+    from avtex.synth.embeddings import _embed_both_fn
+
+    g = np.random.default_rng(0)
+    t_frames = 30 * 60
+    video = jnp.asarray((g.random((t_frames, args.res, args.res, 3)) * 255)
+                        .astype(np.uint8))
+    W = 15
+    model = ContrastiveTextures(arch="slowfast", model_type=1, temp=0.1,
+                                norm="affine")
+    x = jnp.zeros((args.batch, W, args.res, args.res, 3), jnp.uint8)
+    from avtex.data.preprocess import preprocess_clip
+    from avtex.nn.slowfast import slowfast_pathways
+    sf = slowfast_pathways(preprocess_clip(x[:1], size=args.res,
+                                           slowfast=True))
+    t_in = tuple(p[:, None] for p in sf)
+    shapes = jax.eval_shape(model.init, jax.random.key(0), sf, t_in)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(
+            g.standard_normal(s.shape).astype(s.dtype) * 0.05), shapes)
+    starts = jnp.asarray((np.arange(args.batch) * 6).astype(np.int32))
+    run = _embed_both_fn(model, args.res, True, W)
+
+    def call():
+        q, t = run(params, video, starts, None)
+        return float(np.asarray(jnp.sum(q) + jnp.sum(t)))
+    return call
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--prog", choices=("trunk", "embed"), default="trunk")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--res", type=int, default=224)
+    ap.add_argument("--max-stage", type=int, default=0)
+    ap.add_argument("--s2d", type=int, default=1)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+
+    from avtex.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    fn = (make_trunk_runner if args.prog == "trunk"
+          else make_embed_runner)(args)
     t0 = time.perf_counter()
-    fetch(run(params, slow, fast, args.max_stage, bool(args.s2d)))
+    fn()
     print(f"warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
-    fetch(run(params, slow, fast, args.max_stage, bool(args.s2d)))
+    fn()
     print(f"steady {(time.perf_counter() - t0) * 1e3:.1f} ms wall",
           file=sys.stderr)
 
     logdir = tempfile.mkdtemp(prefix="avtex_trace_")
     with jax.profiler.trace(logdir):
         for _ in range(args.reps):
-            fetch(run(params, slow, fast, args.max_stage, bool(args.s2d)))
+            fn()
     print(f"(divide by reps={args.reps} for per-run time)")
     parse_xspace(logdir, args.top)
 
