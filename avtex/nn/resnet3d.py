@@ -54,10 +54,23 @@ class Affine(nn.Module):
         return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
+GN_F32_OUT = False  # A/B knob: True restores pre-round-3 fp32 GN outputs
+
+
+def gn_dtype(dtype):
+    """GroupNorm OUTPUT dtype. Stats are always computed in fp32 (flax
+    force-promotes reductions), so returning the model compute dtype
+    (bf16) is numerically safe and halves every post-norm activation's
+    HBM bytes — the train step's fp32 GroupNorm chains were 30% of
+    device time (kLoop fusions, tools/op_trace.py --prog train,
+    round 3). GN_F32_OUT pins the old behavior for A/B tooling."""
+    return jnp.float32 if GN_F32_OUT else dtype
+
+
 def _norm(ch: int, dtype, norm: str = "group"):
     if norm == "affine":
         return Affine(ch)
-    return nn.GroupNorm(num_groups=min(32, ch), dtype=jnp.float32)
+    return nn.GroupNorm(num_groups=min(32, ch), dtype=gn_dtype(dtype))
 
 
 class BasicBlock3D(nn.Module):

@@ -42,7 +42,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .resnet3d import Affine
+from .resnet3d import Affine, gn_dtype
 
 ALPHA = 4          # fast/slow frame-rate ratio
 BETA_INV = 8       # slow/fast channel ratio
@@ -117,7 +117,8 @@ class SFBottleneck(nn.Module):
         def norm(idx, ch):
             if self.norm == "affine":
                 return Affine(ch, name=f"Affine_{idx}")
-            return nn.GroupNorm(num_groups=min(32, ch), dtype=jnp.float32,
+            return nn.GroupNorm(num_groups=min(32, ch),
+                                dtype=gn_dtype(self.dtype),
                                 name=f"GroupNorm_{idx}")
 
         def fused(idx, z, feats, residual=None, relu=True):
@@ -203,7 +204,8 @@ class SlowFastR50(nn.Module):
         every checkpoint tree stays byte-identical."""
         if self.norm == "affine":
             return Affine(ch, name=f"Affine_{idx}")
-        return nn.GroupNorm(num_groups=min(32, ch), dtype=jnp.float32,
+        return nn.GroupNorm(num_groups=min(32, ch),
+                            dtype=gn_dtype(self.dtype),
                             name=f"GroupNorm_{idx}")
 
     def _lateral(self, fast, out_ch, norm_idx):

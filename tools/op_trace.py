@@ -138,9 +138,47 @@ def make_embed_runner(args):
     return call
 
 
+def make_train_runner(args):
+    """The flagship train step (tools/train_step_bench.py geometry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avtex.config import Config
+    from avtex.contrastive.model import ContrastiveTextures
+    from avtex.train.loop import create_state, make_train_step
+
+    bs, negs, window = args.batch, 3, 15
+    cfg = Config(enc_arch="slowfast", model_type=1, batch_size=bs,
+                 n_negs=negs)
+    model = ContrastiveTextures(arch="slowfast", model_type=1,
+                                temp=cfg.temp, remat=True)
+    g = np.random.default_rng(0)
+    batch = {
+        "q_frames": (g.random((bs, window, args.res, args.res, 3)) * 255
+                     ).astype(np.uint8),
+        "t_frames": (g.random((bs, 1 + negs, window, args.res, args.res, 3))
+                     * 255).astype(np.uint8),
+    }
+    state, tx = create_state(model, cfg, batch, steps_per_epoch=10,
+                             slowfast=True)
+    step = make_train_step(model, tx, args.res, slowfast=True)
+    rng = jax.random.key(0)
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    holder = {"state": state, "i": 0}
+
+    def call():
+        holder["i"] += 1
+        st, m = step(holder["state"], dev_batch,
+                     jax.random.fold_in(rng, holder["i"]))
+        holder["state"] = st
+        return float(np.asarray(m["loss"]))
+    return call
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--prog", choices=("trunk", "embed"), default="trunk")
+    ap.add_argument("--prog", choices=("trunk", "embed", "train"),
+                    default="trunk")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--res", type=int, default=224)
     ap.add_argument("--max-stage", type=int, default=0)
@@ -154,8 +192,8 @@ def main():
     from avtex.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    fn = (make_trunk_runner if args.prog == "trunk"
-          else make_embed_runner)(args)
+    fn = {"trunk": make_trunk_runner, "embed": make_embed_runner,
+          "train": make_train_runner}[args.prog](args)
     t0 = time.perf_counter()
     fn()
     print(f"warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
