@@ -1,0 +1,78 @@
+"""End-to-end CLI drive of the four audio-baseline modes.
+
+The baseline ALGORITHMS are pinned by tests/test_baselines.py; this file
+drives the reference-facing CLI surface (avtex/cli/baselines_main.py —
+the consolidation of the reference's four standalone scripts,
+baselines/audio_baselines/*.py) from argv to artifacts on disk, which
+VERDICT r2 left to manual verification.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from avtex.cli.baselines_main import main
+from avtex.media import write_video, write_wav
+
+
+@pytest.fixture()
+def media_dirs(tmp_path):
+    vdir, adir, dadir = tmp_path / "v", tmp_path / "a", tmp_path / "da"
+    for d in (vdir, adir, dadir):
+        d.mkdir()
+    rng = np.random.default_rng(0)
+    frames = (rng.random((90, 32, 32, 3)) * 255).astype(np.uint8)
+    write_video(frames, str(vdir / "clip.mp4"), fps=30)
+    sr = 16000
+    t = np.arange(sr * 4) / sr
+    write_wav(str(adir / "clip.wav"), np.sin(2 * np.pi * 220 * t) * 0.3, sr)
+    write_wav(str(dadir / "song.wav"), np.sin(2 * np.pi * 440 * t) * 0.3, sr)
+    return vdir, adir, dadir
+
+
+def _outputs(out_dir):
+    return sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []
+
+
+def test_baselines_cli_random_modes(media_dirs, tmp_path):
+    vdir, _, _ = media_dirs
+    out = tmp_path / "res"
+    common = ["-vdata", str(vdir), "-vl", "clip", "-nvl", "2",
+              "-results_folder", str(out)]
+    main(["random"] + common)
+    main(["random_segment"] + common)
+    names = _outputs(out)
+    assert any("clip_random" in n and not n.startswith("clip_random_segment")
+               for n in names), names
+    assert any("clip_random_segment" in n for n in names), names
+
+
+def test_baselines_cli_nn_mode(media_dirs, tmp_path):
+    vdir, adir, dadir = media_dirs
+    out = tmp_path / "res"
+    main(["nn", "-vdata", str(vdir), "-vl", "clip", "-adata", str(adir),
+          "-da", "song", "-dadata", str(dadir), "-nvl", "2",
+          "-results_folder", str(out)])
+    assert any("clip_song_nn" in n for n in _outputs(out))
+
+
+def test_baselines_cli_nn_requires_source_audio(media_dirs, tmp_path):
+    vdir, _, dadir = media_dirs
+    with pytest.raises(SystemExit):
+        main(["nn", "-vdata", str(vdir), "-vl", "clip", "-da", "song",
+              "-dadata", str(dadir), "-results_folder",
+              str(tmp_path / "res")])
+
+
+def test_baselines_cli_shift_mode(media_dirs, tmp_path):
+    vdir, adir, _ = media_dirs
+    out = tmp_path / "res"
+    # shift mode wants a result video with a .wav sidecar (reference:
+    # random_shift.py operates on an existing output pair)
+    sr = 16000
+    t = np.arange(sr * 4) / sr
+    write_wav(str(vdir / "clip.wav"), np.sin(2 * np.pi * 330 * t) * 0.3, sr)
+    main(["shift", "-i", str(vdir / "clip.mp4"),
+          "-results_folder", str(out)])
+    assert any("clip_shift" in n for n in _outputs(out))

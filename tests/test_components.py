@@ -161,3 +161,23 @@ def test_classic_temporal_distances(rng):
     assert np.isfinite(out).all() and np.all(out[:, 3] == 0.0)
     # one embedder serves both sides (reference: single v_encoder)
     assert set(params["params"]) == {"embedder"}
+
+
+def test_profiler_trace_smoke(tmp_path):
+    """obs.trace captures an XSpace artifact around a jitted block (and is
+    a no-op when logdir is None) — the §5.1 hook tools/op_trace.py builds
+    on."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from avtex.obs.profiler import trace
+
+    with trace(None):  # no-op path
+        pass
+    f = jax.jit(lambda x: (x * 2).sum())
+    logdir = str(tmp_path / "prof")
+    with trace(logdir):
+        float(f(jnp.arange(8.0)))
+    assert glob.glob(logdir + "/**/*.xplane.pb", recursive=True)
