@@ -121,3 +121,20 @@ def test_expand_walk_modes():
     m3 = classic.sampler.expand_walk_to_frames(idx, 3, 4, 8, 1000)
     assert m3[:8].tolist() == list(range(2, 10))
     assert m3[8:12].tolist() == [3 * 4 + 4, 3 * 4 + 5, 3 * 4 + 6, 3 * 4 + 7]
+
+
+def test_fused_pipeline_matches_staged(rng):
+    """classic_transition_matrix (one device program) must reproduce the
+    staged compute_d1 -> compute_d2 -> compute_d3 chain exactly."""
+    from avtex.classic import (classic_transition_matrix, compute_d1,
+                               compute_d2, compute_d3)
+
+    import jax.numpy as jnp
+    feats = jnp.asarray(rng.standard_normal((40, 75)), jnp.float32)
+    d1, _, _ = compute_d1(feats, 4.5)
+    d2, _, _ = compute_d2(d1, 4.5, filter_size=8)
+    _, _, p3n, _ = compute_d3(d2, 4.5, thresholding=0.75)
+    fused = classic_transition_matrix(feats, 4.5, filter_size=8)
+    assert fused.shape == p3n.shape
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(p3n),
+                               rtol=1e-6, atol=1e-7)

@@ -11,10 +11,14 @@ Prints one JSON line with per-stage seconds (best of 3 after warmup).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
@@ -40,7 +44,12 @@ def main():
     frames = np.repeat(frames[..., None], 3, -1)
     feats = jnp.asarray(frames.reshape(N, -1))
 
+    from avtex.classic.fused import classic_transition_matrix
+
     def run():
+        # Staged attribution: each stage fetches its [N, N] fp32 matrix,
+        # so these times INCLUDE ~13 MB of tunnel transfer per stage —
+        # they attribute the staged API's wall cost, not device compute.
         times = {}
         t0 = time.perf_counter()
         d1, p1, _ = compute_d1(feats, 4.5)
@@ -58,7 +67,19 @@ def main():
         idxs, jumps = sample_texture_walk_host(
             p3n_h, start=100, num_steps=900, rng=np.random.default_rng(0))
         times["walk_s"] = time.perf_counter() - t0
-        times["total_s"] = sum(times.values())
+        times["total_staged_s"] = sum(times.values())
+
+        # Fused path: ONE device program, ONE fetch of the final
+        # thresholded matrix, then the host walk — the serving shape.
+        t0 = time.perf_counter()
+        p3n_f = np.asarray(classic_transition_matrix(feats, 4.5))
+        times["fused_matrix_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        idxs_f, _ = sample_texture_walk_host(
+            p3n_f, start=100, num_steps=900, rng=np.random.default_rng(0))
+        times["total_s"] = (times["fused_matrix_s"]
+                            + time.perf_counter() - t0)
+        assert list(idxs_f) == list(idxs)  # identical math, one program
         return times, idxs
 
     run()  # warmup/compile
