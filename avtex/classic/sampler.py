@@ -26,20 +26,8 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("num_steps",))
-def sample_texture_walk(p: jnp.ndarray, start: int, num_steps: int,
-                        rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Device random walk.
-
-    Args:
-      p: [N, N] transition matrix (zeros = forbidden transitions).
-      start: initial frame/segment index.
-      num_steps: number of transitions to sample.
-      rng: jax PRNG key.
-
-    Returns:
-      (indices [num_steps+1], jump_flags [num_steps]) — jump when the chosen
-      next index differs from current+1.
-    """
+def _walk_scan(p: jnp.ndarray, start: jnp.ndarray, rng: jax.Array,
+               num_steps: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     mask = p > 0.0
 
     def step(carry, key):
@@ -52,8 +40,55 @@ def sample_texture_walk(p: jnp.ndarray, start: int, num_steps: int,
         return nxt, (nxt, jump)
 
     keys = jax.random.split(rng, num_steps)
-    _, (idx, jumps) = jax.lax.scan(step, jnp.asarray(start), keys)
-    return jnp.concatenate([jnp.asarray(start)[None], idx]), jumps
+    _, (idx, jumps) = jax.lax.scan(step, start, keys)
+    return jnp.concatenate([start[None], idx]), jumps
+
+
+def sample_texture_walk(p: jnp.ndarray, start: int, num_steps: int,
+                        rng: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device random walk.
+
+    Shape-bucketed (N to multiples of 128, steps to multiples of 64) and
+    served through AOT executable persistence (avtex/utils/aot.py) — the
+    persistent XLA cache never serves lax.scan programs on this backend,
+    so fresh processes otherwise pay the full walk compile (the same hole
+    avtex/synth/engine.py closes for the contrastive walk). Padded rows
+    are never visited (all-zero columns are never chosen), so bucketing
+    preserves walk validity; the sampled stream differs across bucket
+    sizes (noise vector length changes), which is distribution-neutral.
+
+    Args:
+      p: [N, N] transition matrix (zeros = forbidden transitions).
+      start: initial frame/segment index.
+      num_steps: number of transitions to sample.
+      rng: jax PRNG key.
+
+    Returns:
+      (indices [num_steps+1], jump_flags [num_steps]) — jump when the chosen
+      next index differs from current+1.
+    """
+    import os
+
+    p = jnp.asarray(p)
+    n_pad = (-p.shape[0]) % 128
+    if n_pad:
+        p = jnp.pad(p, ((0, n_pad), (0, n_pad)))
+    steps_pad = -(-num_steps // 64) * 64
+    dyn = (p, jnp.asarray(start, jnp.int32), rng)
+    if os.environ.get("AVTEX_WALK_AOT", "1") == "1":
+        from avtex.utils.aot import cached_compile
+        key = f"classic-walk-v1-N{p.shape[0]}-steps{steps_pad}-{p.dtype}"
+        try:
+            exe = cached_compile(
+                key,
+                lambda: jax.jit(_walk_scan, static_argnames=("num_steps",))
+                .lower(*dyn, num_steps=steps_pad).compile())
+            idx, jumps = exe(*dyn)
+        except Exception:
+            idx, jumps = _walk_scan(*dyn, num_steps=steps_pad)
+    else:
+        idx, jumps = _walk_scan(*dyn, num_steps=steps_pad)
+    return idx[:num_steps + 1], jumps[:num_steps]
 
 
 def sample_texture_walk_host(p: np.ndarray, start: int, num_steps: int,

@@ -80,6 +80,18 @@ def main():
         times["total_s"] = (times["fused_matrix_s"]
                             + time.perf_counter() - t0)
         assert list(idxs_f) == list(idxs)  # identical math, one program
+
+        # Full-device path: the matrix never leaves the device — fused
+        # program + device lax.scan walk, fetch only the ~900 indices.
+        import jax
+
+        from avtex.classic.sampler import sample_texture_walk
+        t0 = time.perf_counter()
+        p3n_d = classic_transition_matrix(feats, 4.5)
+        idx_d, _ = sample_texture_walk(p3n_d, 100, 900, jax.random.key(0))
+        idx_d = np.asarray(idx_d)
+        times["total_device_s"] = time.perf_counter() - t0
+        assert len(idx_d) == 901 and (idx_d >= 0).all()
         return times, idxs
 
     run()  # warmup/compile
