@@ -104,3 +104,30 @@ def test_slowfast_s2d_stem_equivalence():
     a = np.asarray(m_plain.apply(params, slow, fast))
     b = np.asarray(m_s2d.apply(params, slow, fast))
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_groupnorm_bf16_output_keeps_fp32_stats():
+    """The round-3 train-perf change (GroupNorm outputs in bf16) relies on
+    flax force-promoting the stat reductions to fp32. Guard that contract:
+    on data with a large common mode (mean ~100, signal ~1), bf16-dtype
+    GroupNorm must match the fp32-dtype module to bf16 rounding — if the
+    stats ever degraded to bf16, the normalized signal would be garbage."""
+    import flax.linen as nn
+    import jax
+
+    rng = np.random.default_rng(0)
+    # Exactly bf16-representable inputs: both modules see identical data,
+    # so the only difference left is stat/normalize precision.
+    x = np.asarray(jnp.asarray(
+        (100.0 + rng.standard_normal((2, 5, 4, 4, 32))).astype(np.float32),
+        jnp.bfloat16), np.float32)
+    gn32 = nn.GroupNorm(num_groups=8, dtype=jnp.float32)
+    gn16 = nn.GroupNorm(num_groups=8, dtype=jnp.bfloat16)
+    params = gn32.init(jax.random.key(0), jnp.asarray(x))
+    ref = np.asarray(gn32.apply(params, jnp.asarray(x)))
+    out = np.asarray(gn16.apply(params, jnp.asarray(x, jnp.bfloat16))
+                     ).astype(np.float32)
+    assert np.isfinite(out).all()
+    # bf16 has ~3 decimal digits; normalized outputs are O(1)
+    np.testing.assert_allclose(out, ref, atol=0.15)
+    assert abs(out.mean()) < 0.05 and 0.8 < out.std() < 1.2
