@@ -138,3 +138,20 @@ def test_fused_pipeline_matches_staged(rng):
     assert fused.shape == p3n.shape
     np.testing.assert_allclose(np.asarray(fused), np.asarray(p3n),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_fused_pipeline_matches_staged_strided(rng):
+    """Classic++ geometry (stride > 1, model_type 3) through the fused
+    program must also match the staged chain."""
+    import jax.numpy as jnp
+    from avtex.classic import (classic_transition_matrix, compute_d1,
+                               compute_d2, compute_d3)
+
+    feats = jnp.asarray(rng.standard_normal((50, 60)), jnp.float32)
+    d1, _, _ = compute_d1(feats, 4.5)
+    d2, _, _ = compute_d2(d1, 4.5, filter_size=8, stride=3)
+    _, _, p3n, _ = compute_d3(d2, 4.5, thresholding=0.5)
+    fused = classic_transition_matrix(feats, 4.5, filter_size=8, stride=3,
+                                      thresholding=0.5)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(p3n),
+                               rtol=1e-6, atol=1e-7)
