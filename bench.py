@@ -221,7 +221,37 @@ def main() -> None:
     }))
 
 
+def _arm_watchdog() -> None:
+    """Emit the error line ourselves if the pool hangs outright.
+
+    The shared remote pool sometimes wedges completely (device transfers
+    never return — observed for >1.5 h stretches, 2026-08). A hung run
+    killed by an external timeout records NOTHING; this deadline prints
+    an attributable error JSON and exits first. Healthy runs finish in
+    2-4 min; degraded-but-alive runs in 10-20 — the default 1800 s only
+    fires on a true hang. Override with AVTEX_BENCH_DEADLINE_S (0 = off).
+    """
+    import os
+    import threading
+    deadline = float(os.environ.get("AVTEX_BENCH_DEADLINE_S", "1800"))
+    if deadline <= 0:
+        return
+
+    def fire():
+        print(json.dumps({"metric": "e2e_embed_score_synthesize_1min30fps_s",
+                          "value": -1, "unit": "s", "vs_baseline": 0,
+                          "error": f"pool_hang: no completion within "
+                                   f"{deadline:.0f}s (remote pool wedged)"}),
+              flush=True)
+        os._exit(2)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+
+
 if __name__ == "__main__":
+    _arm_watchdog()
     try:
         main()
     except Exception as e:  # noqa: BLE001 - bench must always emit a line
