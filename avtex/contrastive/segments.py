@@ -24,6 +24,29 @@ def num_segments(num_frames: int, window: int, stride: int, split: str = "train"
     return n - 1 if split == "train" else n
 
 
+def require_segments(num_frames: int, window: int, stride: int,
+                     split: str = "val", what: str = "this video") -> int:
+    """num_segments, but raise an actionable error for too-short videos.
+
+    The reference crashes downstream with shape errors when the formula
+    goes <= 0 (dataset.py:114-119 can return 0 or negative); user-facing
+    avtex entry points fail loudly here instead. Synthesis needs at
+    least 2 segments (a query and a distinct successor), training at
+    least 1 query.
+    """
+    L = num_segments(num_frames, window, stride, split)
+    need = 1 if split == "train" else 2
+    if L < need:
+        need_frames = (window + (need + (split == "train")) * stride)
+        raise ValueError(
+            f"{what} is too short: {num_frames} frames gives {max(L, 0)} "
+            f"{split} segment(s) at window={window}, stride={stride}; "
+            f"need at least {need}. Provide >= ~{need_frames} frames, or "
+            f"reduce -w/-stride (fps-derived: W=ceil(fps/2), "
+            f"S=ceil(fps/5)), or lower -subr subsampling.")
+    return L
+
+
 def segment_start_frames(num_frames: int, window: int, stride: int,
                          split: str = "val") -> np.ndarray:
     """Start frame of every segment: ``i*S`` for i in [0, L)."""

@@ -45,11 +45,8 @@ class SegmentBatches:
         self.rng = np.random.default_rng(seed)
         # Windows view covers ids [0, n_train] (the last id appears only as
         # positive/negative, matching reference __len__ semantics).
-        self.n_train = num_segments(len(frames), window, stride, "train")
-        if self.n_train < 1:
-            raise ValueError(
-                f"video too short: {len(frames)} frames for window {window} "
-                f"stride {stride}")
+        from avtex.contrastive.segments import require_segments
+        self.n_train = require_segments(len(frames), window, stride, "train")
         self.windows = gather_windows(frames, window, stride, "val")
         self.audio = audio_examples
         self.max_audio_id = (len(audio_examples) - 1

@@ -52,7 +52,9 @@ def synthesize(cfg: Config, video_path: str, params,
     timings["decode_s"] = t.elapsed
     cfg = cfg.derive_geometry(fps)
     W, S = cfg.window, cfg.stride
-    L = num_segments(len(video), W, S, "val")
+    from avtex.contrastive.segments import require_segments
+    L = require_segments(len(video), W, S, "val",
+                         what=os.path.basename(video_path))
 
     audio = None
     sr = 22050

@@ -46,7 +46,9 @@ class TextureServer:
         self.video, self.fps = read_video(video_path, cfg.subsample_rate)
         self.cfg = cfg.derive_geometry(self.fps)
         self.W, self.S = self.cfg.window, self.cfg.stride
-        self.L = num_segments(len(self.video), self.W, self.S, "val")
+        from avtex.contrastive.segments import require_segments
+        self.L = require_segments(len(self.video), self.W, self.S, "val",
+                                  what=os.path.basename(video_path))
         self.name = os.path.splitext(os.path.basename(video_path))[0]
 
         self.audio = None

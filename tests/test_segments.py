@@ -58,3 +58,20 @@ def test_gather_windows_shape_and_content():
     w = segments.gather_windows(frames, window=15, stride=6)
     assert w.shape == (4, 15, 2, 2)
     np.testing.assert_array_equal(w[2], frames[12:27])
+
+
+def test_require_segments_short_video_message():
+    """User-facing entries fail loudly on too-short videos (the reference
+    crashes downstream with shape errors when dataset.py:114-119 goes
+    <= 0)."""
+    import pytest
+
+    from avtex.contrastive.segments import require_segments
+
+    with pytest.raises(ValueError, match="too short.*reduce -w"):
+        require_segments(10, 15, 6, "val", what="clip.mp4")
+    with pytest.raises(ValueError, match="train segment"):
+        require_segments(20, 15, 6, "train")
+    # boundary: smallest valid sizes pass through
+    assert require_segments(15 + 2 * 6, 15, 6, "val") == 2
+    assert require_segments(15 + 2 * 6, 15, 6, "train") == 1
