@@ -195,3 +195,45 @@ print("INVARIANT_OK")
     if "AssertionError" in proc.stderr:
         raise AssertionError(proc.stdout[-500:] + proc.stderr[-1500:])
     pytest.skip(f"collective aborted (environment): rc={proc.returncode}")
+
+
+def test_classic_sharded_matches_fused():
+    """Row-block-sharded classic pipeline (shard_map D1/D2/D3 with
+    all_gather'd mins + psum'd convergence) must reproduce the
+    single-device fused program, including the padded-tail geometry
+    (M=53 rows over 8 shards). Subprocess-isolated like the other 8-way
+    collective tests (1-core host: in-process CPU rendezvous can abort
+    the interpreter)."""
+    import subprocess
+    import sys
+    script = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from avtex.classic import classic_transition_matrix
+from avtex.classic.sharded import classic_transition_matrix_sharded
+from avtex.parallel import make_mesh
+rng = np.random.default_rng(3)
+feats = rng.standard_normal((60, 48)).astype(np.float32)
+ref = np.asarray(classic_transition_matrix(
+    feats, 4.5, filter_size=8, thresholding=0.5))
+mesh = make_mesh()
+out = np.asarray(classic_transition_matrix_sharded(
+    feats, mesh, 4.5, filter_size=8, thresholding=0.5))
+assert out.shape == ref.shape, (out.shape, ref.shape)
+np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+print("SHARDED_OK", out.shape)
+"""
+    try:
+        proc = subprocess.run([sys.executable, "-c", script],
+                              capture_output=True, text=True, timeout=300)
+    except subprocess.TimeoutExpired:
+        pytest.skip("8-way CPU collective timed out (1-core host)")
+    if "SHARDED_OK" in proc.stdout:
+        return
+    if "AssertionError" in proc.stderr or "Mismatch" in proc.stderr:
+        raise AssertionError(proc.stderr[-2000:])
+    pytest.skip(f"collective aborted (environment): rc={proc.returncode}")
