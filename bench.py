@@ -217,6 +217,18 @@ def main() -> None:
                 "lower_bound_x": 770,
                 "measured": "2026-08 round 2",
             },
+            # STATIC CITATIONS of round-3 measurements (not this run):
+            "train_step_citation": {
+                "slowfast224_20clip_step_s": 0.444,
+                "train_clips_per_sec_per_chip": 45.0,
+                "tool": "tools/train_ab.py",
+                "measured": "2026-08 round 3",
+            },
+            "classic_pipeline_citation": {
+                "full_device_1800f_s": 0.061,
+                "tool": "tools/classic_bench.py",
+                "measured": "2026-08 round 3",
+            },
         },
     }))
 
