@@ -225,6 +225,12 @@ out = np.asarray(classic_transition_matrix_sharded(
     feats, mesh, 4.5, filter_size=8, thresholding=0.5))
 assert out.shape == ref.shape, (out.shape, ref.shape)
 np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+# normalized-feature mode (the ResNet/VGGish feature path)
+ref_n = np.asarray(classic_transition_matrix(
+    feats, 4.5, filter_size=8, normalize=True))
+out_n = np.asarray(classic_transition_matrix_sharded(
+    feats, mesh, 4.5, filter_size=8, normalize=True))
+np.testing.assert_allclose(out_n, ref_n, rtol=1e-4, atol=1e-5)
 print("SHARDED_OK", out.shape)
 """
     try:
