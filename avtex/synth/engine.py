@@ -53,16 +53,30 @@ def num_synthesis_steps(max_length: int, window: int, stride: int) -> int:
 
 def seed_segment(audio_examples: Optional[jnp.ndarray],
                  driving_example: Optional[jnp.ndarray],
-                 default: int = 10) -> int:
+                 default: int = 10,
+                 num_segments: Optional[int] = None) -> int:
     """Initial q_id: fixed 10, or best audio match to the first driving
-    example (reference: validate.py:218-242)."""
+    example (reference: validate.py:218-242).
+
+    Exact reference semantics (pinned by test_reference_parity):
+    the scan runs over segment ids only (``for choice in
+    all_segment_ids`` — rows of ``audio_examples`` past ``num_segments``
+    are never considered), starts from ``q_id = 0, max_sim = 0`` and
+    updates on strictly-greater similarity — so ties keep the earliest
+    id, and if no segment has positive cosine similarity the seed stays
+    0 (NOT the most-similar negative match).
+    """
     if driving_example is None or audio_examples is None:
         return default
     src = audio_examples.reshape(audio_examples.shape[0], -1)
+    if num_segments is not None:
+        src = src[:num_segments]
     src = src / (jnp.linalg.norm(src, axis=1, keepdims=True) + 1e-12)
     d = driving_example.reshape(-1)
     d = d / (jnp.linalg.norm(d) + 1e-12)
-    return int(jnp.argmax(src @ d))
+    sims = src @ d
+    best = int(jnp.argmax(sims))
+    return best if float(sims[best]) > 0.0 else 0
 
 
 @functools.partial(jax.jit, static_argnames=("num_steps",))
@@ -189,9 +203,13 @@ def synthesize_indices(q_table: jnp.ndarray, t_table: jnp.ndarray,
                 .lower(*dyn, num_steps=steps_pad, alpha=alpha,
                        threshold=threshold, rng=rng).compile())
             outs = exe(*dyn, alpha=alpha, threshold=threshold, rng=rng)
-        except Exception:
+        except Exception as e:
             # e.g. args arrive with a sharding the cached executable was
             # not built for — correctness beats the warm start.
+            import sys
+            print(f"[avtex.synth] WARNING: AOT walk path failed "
+                  f"({type(e).__name__}: {e}); falling back to plain jit "
+                  f"(full walk compile)", file=sys.stderr, flush=True)
             outs = _walk(q_table, t_table, jnp.int32(L), temp,
                          audio_logits, seed_id, steps_pad, alpha,
                          threshold, rng)

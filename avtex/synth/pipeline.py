@@ -328,9 +328,9 @@ def driving_audio_rows(cfg: Config, video, audio_examples, driving_examples,
         audio_logits = video_for_audio_logits(
             vfa, vfa_params, driving_examples[steps_ids], v_table, cfg.temp)
         if audio_examples is not None:
-            seed_id = min(seed_segment(jnp.asarray(audio_examples),
-                                       jnp.asarray(driving_examples[0])),
-                          L - 1)
+            seed_id = seed_segment(jnp.asarray(audio_examples),
+                                   jnp.asarray(driving_examples[0]),
+                                   num_segments=L)
     elif audio_examples is not None:
         if cfg.da_feats == "Mel":
             src = jnp.asarray(audio_examples.reshape(len(audio_examples), -1))
@@ -354,8 +354,9 @@ def driving_audio_rows(cfg: Config, video, audio_examples, driving_examples,
         seg_ids = np.minimum(np.arange(L), len(audio_examples) - 1)
         audio_logits = driving_audio_logits(src[jnp.asarray(seg_ids)],
                                             drv[jnp.asarray(ids)], cfg.temp)
-        seed_id = min(seed_segment(jnp.asarray(audio_examples),
-                                   jnp.asarray(driving_examples[0])), L - 1)
+        seed_id = seed_segment(jnp.asarray(audio_examples),
+                               jnp.asarray(driving_examples[0]),
+                               num_segments=L)
     else:
         # -daf VGG/Mel score driving audio against the SOURCE video's audio
         # track; without it alpha-blending would be silently skipped. The

@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
+import sys
 import tempfile
 from typing import Any, Callable, Dict, Tuple
 
@@ -72,8 +73,10 @@ def cached_compile(key: str, build: Callable[[], Any]):
             exe = serialize_executable.deserialize_and_load(*payload)
             _MEMO[memo_key] = exe
             return exe
-        except Exception:  # stale/foreign entry: recompile below
-            pass
+        except Exception as e:  # stale/foreign entry: recompile below
+            print(f"[avtex.aot] WARNING: cached executable load failed for "
+                  f"{key!r} ({type(e).__name__}: {e}); recompiling",
+                  file=sys.stderr, flush=True)
 
     exe = build()
     _MEMO[memo_key] = exe
@@ -85,6 +88,8 @@ def cached_compile(key: str, build: Callable[[], Any]):
             with os.fdopen(fd, "wb") as f:
                 f.write(pickle.dumps(payload))
             os.replace(tmp, path)
-        except Exception:  # persistence is best-effort
-            pass
+        except Exception as e:  # persistence is best-effort
+            print(f"[avtex.aot] WARNING: failed to persist executable for "
+                  f"{key!r} ({type(e).__name__}: {e}); next process will "
+                  f"recompile", file=sys.stderr, flush=True)
     return exe

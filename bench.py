@@ -18,9 +18,122 @@ import time
 
 import numpy as np
 
+# XLA HLO cost analysis of the exact embed program this bench dispatches
+# (one clip through one tower incl. on-device window gather + preprocess;
+# conv+dot FLOPs = 2*MACs). Measured by tools/flops_count.py on 2026-08-18:
+# batch=1 both-towers program = 2.244e11 flops -> 1.122e11 per clip-forward.
+FLOPS_PER_CLIP = 1.122e11
+
+# Dense bf16 peak of the attached chip, for the MFU denominator.
+# The pool's device_kind reports a v5e-class part (197 TFLOP/s bf16).
+_PEAK_TFLOPS_BY_KIND = {"TPU v5 lite": 197.0, "TPU v5e": 197.0,
+                        "TPU v4": 275.0, "TPU v5p": 459.0,
+                        "TPU v6 lite": 918.0, "TPU v6e": 918.0}
+PEAK_TFLOPS = 197.0
+
+
+def _backend_alive_child(timeout_s: float = 150.0) -> bool:
+    """Probe backend liveness in a KILLABLE child process.
+
+    The pool has two distinct wedge modes (observed 2026-08-18): backend
+    init fails fast (``Unable to initialize backend 'axon'``), or init
+    simply HANGS — an in-process ``jax.devices()`` then blocks forever
+    and no retry loop ever gets control. A child process converts the
+    hang into a timeout we can retry. The child must also round-trip a
+    tiny computation: init succeeding while fetches hang is a third
+    observed mode.
+    """
+    import subprocess
+    import sys as _sys
+
+    code = ("import jax, jax.numpy as jnp, numpy as np; "
+            "a = jnp.ones((256, 256), jnp.bfloat16); "
+            "np.asarray(jax.jit(lambda x: x @ x)(a)); "
+            "print('BACKEND_ALIVE', jax.devices()[0].platform)")
+    try:
+        proc = subprocess.run([_sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"[bench] backend probe child hung (> {timeout_s:.0f}s) — "
+              f"pool wedged at init/fetch", file=sys.stderr, flush=True)
+        return False
+    if proc.returncode == 0 and "BACKEND_ALIVE" in proc.stdout:
+        return True
+    print(f"[bench] backend probe child failed rc={proc.returncode}: "
+          f"{proc.stderr.strip()[-300:]}", file=sys.stderr, flush=True)
+    return False
+
+
+def _acquire_backend(budget_s: float = None, *, _devices_fn=None,
+                     _sleep=time.sleep, _reset=None, _probe_fn=None):
+    """Return jax with a live backend, retrying transient init failures.
+
+    The remote pool's backend init can fail transiently OR hang outright
+    (BENCH_r03.json died in seconds on ``Unable to initialize backend
+    'axon'``; CLAUDE.md documents hours-scale wedges that clear). Phase
+    1 probes liveness in a killable child until it sees a working
+    round-trip (hang-safe). Phase 2 initializes in-process; JAX memoizes
+    a failed init, so each retry must clear_backends() first. Budget:
+    retry with 60 s backoff until ``budget_s`` (default 900, override
+    AVTEX_BENCH_INIT_BUDGET_S) is spent, then raise so the error-line
+    path records an attributable failure. The _-prefixed hooks exist
+    for the unit test (tests/test_bench_unit.py).
+    """
+    import os
+
+    import jax
+
+    if budget_s is None:
+        budget_s = float(os.environ.get("AVTEX_BENCH_INIT_BUDGET_S", "900"))
+
+    def default_reset():
+        import jax.extend as jex
+        jex.backend.clear_backends()
+
+    devices_fn = _devices_fn or jax.devices
+    reset = _reset or default_reset
+    probe_fn = _probe_fn or _backend_alive_child
+
+    t0 = time.perf_counter()
+    while not probe_fn():
+        if time.perf_counter() - t0 >= budget_s:
+            raise RuntimeError(
+                f"TPU backend unreachable: liveness probe failed for "
+                f"{budget_s:.0f}s (remote pool wedged)")
+        print("[bench] waiting 60 s before re-probing backend",
+              file=sys.stderr, flush=True)
+        _sleep(60.0)
+
+    # Phase 2: in-process init, sharing the remaining budget.
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            devs = devices_fn()
+            print(f"[bench] backend up (attempt {attempt}): "
+                  f"{[str(d) for d in devs]}", file=sys.stderr, flush=True)
+            return jax
+        except Exception as e:  # noqa: BLE001 - init failures are opaque
+            waited = time.perf_counter() - t0
+            if waited >= budget_s:
+                print(f"[bench] backend init failed after {attempt} "
+                      f"attempts / {waited:.0f}s; giving up",
+                      file=sys.stderr, flush=True)
+                raise
+            print(f"[bench] backend init attempt {attempt} failed "
+                  f"({type(e).__name__}: {str(e)[:200]}); retrying in 60 s "
+                  f"({waited:.0f}/{budget_s:.0f}s)",
+                  file=sys.stderr, flush=True)
+            _sleep(60.0)
+            try:
+                reset()
+            except Exception:  # noqa: BLE001 - best-effort reset
+                pass
+
 
 def main() -> None:
-    import jax
+    jax = _acquire_backend()
     import jax.numpy as jnp
 
     from avtex.utils.cache import enable_compilation_cache
@@ -183,6 +296,12 @@ def main() -> None:
     median_s = float(np.median(times))
 
     assert len(stitched["frames"]) >= seconds * fps * 0.9
+    clips_per_sec_per_chip = (
+        2 * L / table_time[0] / (len(jax.devices())
+                                 if mesh is not None else 1))
+    global PEAK_TFLOPS
+    PEAK_TFLOPS = _PEAK_TFLOPS_BY_KIND.get(
+        jax.devices()[0].device_kind, PEAK_TFLOPS)
     print(json.dumps({
         "metric": "e2e_embed_score_synthesize_1min30fps_s",
         "value": round(elapsed, 4),
@@ -197,10 +316,19 @@ def main() -> None:
             "jumps": int(result.jumps.sum()),
             # BASELINE.json primary throughput metric (per chip: divide by
             # the mesh size when the multi-chip path ran)
-            "clips_per_sec_per_chip": round(
-                2 * L / table_time[0] / (len(jax.devices())
-                                         if mesh is not None else 1), 1),
+            "clips_per_sec_per_chip": round(clips_per_sec_per_chip, 1),
             "embed_tables_s": round(table_time[0], 3),
+            # MXU utilization of the embed stage. flops_per_clip is the
+            # XLA HLO cost analysis of one single-clip SlowFast-R50@224
+            # affine forward (tools/flops_count.py; conv+dot FLOPs, i.e.
+            # 2*MACs). Peak is the per-chip dense bf16 figure for the
+            # attached device kind.
+            "flops_per_clip": FLOPS_PER_CLIP,
+            "achieved_tflops_per_chip": round(
+                clips_per_sec_per_chip * FLOPS_PER_CLIP / 1e12, 1),
+            "mfu": round(clips_per_sec_per_chip * FLOPS_PER_CLIP
+                         / PEAK_TFLOPS / 1e12, 3),
+            "peak_tflops_assumed": PEAK_TFLOPS,
             "pool_probe_ms": probe_ms,
             "pool_degraded": pool_degraded,
             "median_s": round(median_s, 4),

@@ -1,0 +1,119 @@
+"""Unit tests for bench.py's backend-acquisition retry loop.
+
+BENCH_r03.json was value:-1 because one transient ``Unable to initialize
+backend 'axon'`` at t=0 forfeited the round's perf artifact; the retry
+loop is the fix and must not regress. The real path (jax.devices through
+the remote pool) cannot be exercised here, so the loop's clock/sleep/
+reset seams are injected.
+"""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+
+from bench import _acquire_backend  # noqa: E402
+
+
+def test_retries_until_backend_comes_up():
+    calls = {"n": 0, "slept": [], "resets": 0}
+
+    def devices():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("Unable to initialize backend 'axon': "
+                               "UNAVAILABLE")
+        return ["FakeDevice(0)"]
+
+    out = _acquire_backend(
+        budget_s=600.0,
+        _devices_fn=devices,
+        _sleep=lambda s: calls["slept"].append(s),
+        _reset=lambda: calls.__setitem__("resets", calls["resets"] + 1),
+        _probe_fn=lambda: True)
+    assert out is not None
+    assert calls["n"] == 3
+    assert calls["slept"] == [60.0, 60.0]
+    # each retry must clear the memoized failed init first
+    assert calls["resets"] == 2
+
+
+def test_gives_up_after_budget_and_propagates():
+    clock = {"t": 0.0}
+
+    def sleep(s):
+        clock["t"] += s
+
+    def devices():
+        raise RuntimeError("Unable to initialize backend 'axon'")
+
+    import time as _time
+    real = _time.perf_counter
+    _time.perf_counter = lambda: clock["t"]
+    try:
+        with pytest.raises(RuntimeError, match="axon"):
+            _acquire_backend(budget_s=150.0, _devices_fn=devices,
+                             _sleep=sleep, _reset=lambda: None,
+                             _probe_fn=lambda: True)
+    finally:
+        _time.perf_counter = real
+    # 0s fail -> sleep 60 -> fail -> sleep 60 -> fail at 120 -> sleep 60
+    # -> 180 >= 150: raise
+    assert clock["t"] == 180.0
+
+
+def test_reset_failure_does_not_break_retry():
+    calls = {"n": 0}
+
+    def devices():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise RuntimeError("init failed")
+        return ["dev"]
+
+    def bad_reset():
+        raise OSError("clear_backends exploded")
+
+    out = _acquire_backend(budget_s=600.0, _devices_fn=devices,
+                           _sleep=lambda s: None, _reset=bad_reset,
+                           _probe_fn=lambda: True)
+    assert out is not None and calls["n"] == 2
+
+
+def test_wedged_probe_retries_then_raises():
+    """Init-HANG wedge mode: the liveness probe (hang-safe child) keeps
+    failing -> retry with backoff, raise attributably at budget."""
+    clock = {"t": 0.0}
+    probes = {"n": 0}
+
+    def probe():
+        probes["n"] += 1
+        return False
+
+    import time as _time
+    real = _time.perf_counter
+    _time.perf_counter = lambda: clock["t"]
+    try:
+        with pytest.raises(RuntimeError, match="pool wedged"):
+            _acquire_backend(
+                budget_s=150.0,
+                _devices_fn=lambda: ["dev"],
+                _sleep=lambda s: clock.__setitem__("t", clock["t"] + s),
+                _reset=lambda: None, _probe_fn=probe)
+    finally:
+        _time.perf_counter = real
+    assert probes["n"] == 4  # 0s, 60s, 120s fail -> 180s >= 150: raise
+
+
+def test_probe_recovers_then_init_succeeds():
+    probes = {"n": 0}
+
+    def probe():
+        probes["n"] += 1
+        return probes["n"] >= 3  # wedged twice, then the pool clears
+
+    out = _acquire_backend(budget_s=600.0, _devices_fn=lambda: ["dev"],
+                           _sleep=lambda s: None, _reset=lambda: None,
+                           _probe_fn=probe)
+    assert out is not None and probes["n"] == 3

@@ -135,6 +135,37 @@ def test_sharded_embed_from_video_matches(mesh, rng):
     np.testing.assert_allclose(sharded, plain, atol=2e-2, rtol=2e-2)
 
 
+def test_sharded_embed_slowfast_matches(mesh, rng):
+    """FLAGSHIP encoder under a mesh: SlowFast pathway tuples, the s2d
+    stems, lateral concats and torch-explicit padding all execute under
+    named shardings (the reference DataParallel-wraps SlowFast itself —
+    main.py:420, validate.py:441-493). Tiny 32x32 frames; the pathway
+    split still produces the full (slow 8, fast 32) frame geometry."""
+    import jax.numpy as jnp
+    from avtex.data.preprocess import preprocess_clip
+    from avtex.nn.slowfast import slowfast_pathways
+    from avtex.parallel import sharded_embed_from_video
+    from avtex.synth.embeddings import embed_segments_from_video
+
+    model = ContrastiveTextures(arch="slowfast", model_type=1,
+                                norm="affine")
+    video = (rng.random((20, 32, 32, 3)) * 255).astype(np.uint8)
+    W, S = 4, 2
+    L = (20 - W) // S  # 8 segments -> one per device
+    x = preprocess_clip(jnp.asarray(video[None, :W]), size=32,
+                        slowfast=True)
+    sf = slowfast_pathways(x)
+    params = jax.jit(model.init)(jax.random.key(0), sf,
+                                 tuple(p[:, None] for p in sf))
+    plain = np.asarray(embed_segments_from_video(
+        model, params, video, W, S, L, tower="target", img_size=32,
+        batch_size=4))
+    sharded = np.asarray(sharded_embed_from_video(
+        model, params, mesh, video, W, S, L, tower="target", img_size=32))
+    assert sharded.shape == plain.shape == (L, 2304)
+    np.testing.assert_allclose(sharded, plain, atol=2e-2, rtol=2e-2)
+
+
 @pytest.mark.slow
 def test_sharding_invariance_across_mesh_shapes():
     """Same batch + seed through mesh shapes (8,1), (4,2), (2,4) must give

@@ -754,3 +754,190 @@ def test_bn_folded_resnet2d_matches_reference_net():
     params = convert_bn_folded(state, m, params, xa)
     ours = np.asarray(jax.jit(m.apply)(params, xa))
     np.testing.assert_allclose(ours, ref_out, rtol=1e-3, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def reference_seed():
+    """The reference's audio-argmax seed block (validate.py:218-242), built
+    by exec'ing the reference's OWN source lines.
+
+    The uncommented ``if driving_audio_name is None:`` statement (a
+    commented duplicate precedes it at :197) through the final
+    ``print("Max Audio Sim: ", max_sim)``, driven with injected audio
+    example tensors. Returns the reference's chosen q_id.
+    """
+    import textwrap
+
+    import torch
+
+    lines = open(REF_VALIDATE).read().splitlines()
+    start = next(i for i, l in enumerate(lines)
+                 if l.strip().startswith("if driving_audio_name is None:"))
+    end = next(i for i, l in enumerate(lines)
+               if i > start and 'print("Max Audio Sim: ", max_sim)' in l)
+    snip = textwrap.dedent("\n".join(lines[start:end + 1]))
+
+    def run(audio_eg, driving_eg, num_segments):
+        import copy
+        ns = {
+            "np": np, "torch": torch, "copy": copy,
+            "F": torch.nn.functional, "nn": torch.nn,
+            "print": lambda *a, **k: None,
+            "driving_audio_name": "da",
+            "driving_audio_eg": torch.tensor(np.asarray(driving_eg))[None],
+            "audio_eg": torch.tensor(np.asarray(audio_eg)),
+            "all_segment_ids": np.arange(num_segments),
+        }
+        exec(snip, ns)
+        return int(ns["q_id"])
+
+    return run
+
+
+def test_seed_segment_matches_reference(reference_seed, rng):
+    """avtex seed_segment vs the reference's own seed block: identical ids
+    over random inputs, incl. the two edge cases the loop semantics
+    create — ids past num_segments are never considered, and when no
+    segment has positive cosine similarity the seed stays 0 (the loop's
+    ``sim > max_sim`` with max_sim=0 never fires)."""
+    import jax.numpy as jnp
+
+    from avtex.synth.engine import seed_segment
+
+    for trial in range(5):
+        egs = rng.standard_normal((12, 20, 4)).astype(np.float32)
+        drv = rng.standard_normal((20, 4)).astype(np.float32)
+        for L in (12, 7):
+            ref = reference_seed(egs, drv, L)
+            ours = seed_segment(jnp.asarray(egs), jnp.asarray(drv),
+                                num_segments=L)
+            assert ours == ref, (trial, L, ours, ref)
+
+    # all-negative similarities: the reference keeps q_id = 0
+    egs = np.ones((6, 8), np.float32)
+    drv = -np.ones((8,), np.float32)
+    assert reference_seed(egs, drv, 6) == 0
+    assert seed_segment(jnp.asarray(egs), jnp.asarray(drv),
+                        num_segments=6) == 0
+
+    # exact match at a given row wins (positive similarity, argmax-first)
+    egs = rng.standard_normal((10, 8)).astype(np.float32)
+    assert reference_seed(egs, egs[7], 10) == 7
+    assert seed_segment(jnp.asarray(egs), jnp.asarray(egs[7]),
+                        num_segments=10) == 7
+
+
+@pytest.fixture(scope="module")
+def reference_max_length():
+    """The reference's max_length computation (validate.py:257-263),
+    exec'd verbatim: the base ceil(fps)*new_video_length plus the
+    driving-audio clip statement."""
+    import math
+
+    lines = open(REF_VALIDATE).read().splitlines()
+    start = next(i for i, l in enumerate(lines)
+                 if l.strip().startswith("max_length = math.ceil"))
+    clip = next(i for i, l in enumerate(lines)
+                if "np.floor(len(driving_audio_eg) * S + W)" in l)
+    snip = "\n".join(
+        [lines[start].strip()]
+        + ["if driving_audio_name is not None:"]
+        + ["    " + l.strip() for l in lines[clip - 1:clip + 2]])
+
+    def run(fps, new_video_length, n_driving_eg):
+        from types import SimpleNamespace
+        ns = {
+            "np": np, "math": math,
+            "args": SimpleNamespace(fps=fps,
+                                    new_video_length=new_video_length),
+            "S": 6, "W": 15,  # main.py:515-516 geometry at fps=30
+            "driving_audio_name": None if n_driving_eg is None else "da",
+            "driving_audio_eg": ([0] * n_driving_eg
+                                 if n_driving_eg is not None else None),
+        }
+        exec(snip, ns)
+        return float(ns["max_length"])
+
+    return run
+
+
+def test_max_length_clip_vs_reference(reference_max_length):
+    """Driving-audio length clipping vs the reference's own lines.
+
+    Without driving audio both agree exactly: max_length =
+    ceil(fps) * new_video_length. WITH driving audio the reference's
+    formula (validate.py:262) multiplies a FRAME count (len*S + W) by
+    ceil(fps) again, so the clip is inert for any driving audio >= ~1 s
+    — and the unclipped loop then indexes driving_audio_eg[iter_count]
+    out of range (validate.py:417 consumes one example per step,
+    iter_count starts at 1): the reference crashes as shipped. This test
+    pins (a) the no-driving agreement, (b) the reference's inert-clip
+    arithmetic, (c) that avtex's rule — output length =
+    min(new_video_length, driving duration in seconds) — always keeps
+    the step count within the examples the reference formula was meant
+    to guarantee (avtex additionally clips per-step ids, pipeline.py:352,
+    so it cannot crash either way)."""
+    from avtex.synth.engine import num_synthesis_steps
+
+    fps, nvl, W, S = 30, 60, 15, 6
+
+    # (a) no driving audio: identical
+    assert reference_max_length(fps, nvl, None) == nvl * fps == 1800
+
+    for n in (10, 50, 100, 300, 600):  # 1 s .. 60 s of driving audio
+        ref_ml = reference_max_length(fps, nvl, n)
+        # (b) the fps double-multiplication: clip value is
+        # ceil(fps)*floor(n*S + W) frames — never below the base for
+        # n >= 10, so the reference's max_length is unclipped...
+        assert ref_ml == min(fps * nvl, fps * np.floor(n * S + W))
+        if n >= 10:
+            assert ref_ml == nvl * fps, "clip fired unexpectedly"
+        # ...and the reference's own walk would then run
+        # num_synthesis_steps(ref_ml) steps consuming eg[1..steps],
+        # which overruns n examples whenever the driving audio is
+        # shorter than the requested video:
+        ref_steps = num_synthesis_steps(int(ref_ml), W, S)
+        if n < 299:
+            assert ref_steps > n - 1, "reference would NOT crash here?"
+
+        # (c) avtex (synth/pipeline.py:95-99): duration-in-seconds clip
+        ours_ml = min(nvl * fps, int(n / 10 * fps))
+        ours_steps = num_synthesis_steps(ours_ml, W, S)
+        assert ours_ml == min(nvl, n / 10) * fps
+        assert ours_steps <= max(n - 1, 1), (n, ours_steps)
+
+
+def test_import_slowfast_tool(tmp_path):
+    """tools/import_slowfast.py end-to-end on a pytorch-format checkpoint
+    with pyslowfast naming (reduced geometry via --layers/--width): must
+    convert with full coverage, embed finitely, write --out, and exit 0
+    with IMPORT OK. Garbage input must exit 1 with IMPORT FAILED (no
+    traceback) — the user-facing wrapper around the import path the
+    reference drives at models/models.py:565-580."""
+    import subprocess
+
+    import torch
+
+    net = _torch_slowfast(layers=(2, 1, 1, 1), width=8)
+    _randomize_bn(net)
+    ckpt = tmp_path / "tiny_slowfast.pth"
+    torch.save(net.state_dict(), str(ckpt))
+
+    tool = __file__.rsplit("/tests/", 1)[0] + "/tools/import_slowfast.py"
+    out_file = tmp_path / "converted.msgpack"
+    proc = subprocess.run(
+        [sys.executable, tool, str(ckpt), "--layers", "2,1,1,1",
+         "--width", "8", "--out", str(out_file)],
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "IMPORT OK" in proc.stdout, proc.stdout
+    assert "all tensors mapped" in proc.stdout
+    assert out_file.exists() and out_file.stat().st_size > 1000
+
+    bad = tmp_path / "bad.pkl"
+    bad.write_text("garbage")
+    proc = subprocess.run([sys.executable, tool, str(bad)],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 1
+    assert "IMPORT FAILED" in proc.stderr
+    assert "Traceback" not in proc.stderr

@@ -98,6 +98,13 @@ def test_seed_segment(rng):
     assert seed_segment(egs, None) == 10
     # driving example equal to source example 7 -> argmax at 7
     assert seed_segment(egs, egs[7]) == 7
+    # only segment ids < num_segments are considered (validate.py:226
+    # iterates all_segment_ids, not all audio rows)
+    assert seed_segment(egs, egs[7], num_segments=5) != 7
+    # no positive similarity -> seed stays 0 (validate.py:224 max_sim=0
+    # with a strictly-greater update)
+    ones = jnp.ones((6, 8), jnp.float32)
+    assert seed_segment(ones, -jnp.ones((8,)), num_segments=6) == 0
 
 
 def test_driving_audio_logits_shape(rng):
