@@ -228,6 +228,65 @@ print("INVARIANT_OK")
     pytest.skip(f"collective aborted (environment): rc={proc.returncode}")
 
 
+@pytest.mark.slow
+def test_sharded_train_step_slowfast():
+    """FLAGSHIP training under a mesh: one DP train step of the SlowFast
+    contrastive model with remat (the production training configuration,
+    CLAUDE.md norm contract) — gradients flow through pathway tuples, s2d
+    stems, lateral concats and checkpointed bottlenecks under named
+    shardings. Complements test_sharded_embed_slowfast_matches (forward
+    only). Subprocess-isolated like the other 8-way collective tests."""
+    import subprocess
+    import sys
+    script = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=8 "
+    "--xla_cpu_collective_call_terminate_timeout_seconds=600")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from avtex.config import Config
+from avtex.contrastive.model import ContrastiveTextures
+from avtex.parallel import make_mesh, make_sharded_train_step
+from avtex.train.loop import create_state
+rng = np.random.default_rng(0)
+mesh = make_mesh((8, 1))
+cfg = Config(enc_arch="slowfast", model_type=1, img_size=32, window=4,
+             stride=2, train_stride=2, n_negs=2, batch_size=8, lr=0.01)
+model = ContrastiveTextures(arch="slowfast", model_type=1, temp=cfg.temp,
+                            remat=True)
+batch = {
+    "q_frames": (rng.random((8, 4, 32, 32, 3)) * 255).astype(np.uint8),
+    "t_frames": (rng.random((8, 3, 4, 32, 32, 3)) * 255).astype(np.uint8),
+    "q_ids": np.arange(8),
+}
+state, tx = create_state(model, cfg, batch, 10, slowfast=True)
+step = make_sharded_train_step(model, tx, mesh, cfg.img_size, slowfast=True)
+state2, metrics = step(state, batch, jax.random.key(0))
+loss = float(metrics["loss"])
+assert np.isfinite(loss), loss
+# grads actually applied: params moved
+import jax.numpy as jnp
+d = jax.tree.reduce(
+    lambda a, b: a + b,
+    jax.tree.map(lambda x, y: float(jnp.abs(x - y).sum()),
+                 state.params, state2.params))
+assert d > 0, "params did not move"
+print("SF_TRAIN_OK", loss)
+"""
+    try:
+        proc = subprocess.run([sys.executable, "-c", script],
+                              capture_output=True, text=True, timeout=1200)
+    except subprocess.TimeoutExpired:
+        pytest.skip("8-way CPU collective timed out (1-core host)")
+    if "SF_TRAIN_OK" in proc.stdout:
+        return
+    if "AssertionError" in proc.stderr:
+        raise AssertionError(proc.stderr[-2000:])
+    pytest.skip(f"collective aborted (environment): rc={proc.returncode}")
+
+
 def test_classic_sharded_matches_fused():
     """Row-block-sharded classic pipeline (shard_map D1/D2/D3 with
     all_gather'd mins + psum'd convergence) must reproduce the
