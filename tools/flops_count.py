@@ -24,6 +24,50 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
+def main_train() -> None:
+    """--train: FLOPs of one flagship TRAIN step (SlowFast@224, remat,
+    GroupNorm, bs=4 negs=3 W=15 — the tools/train_step_bench.py geometry
+    whose 0.444 s/step is the BASELINE.md headline). Note remat recompute
+    IS counted by the cost analysis (it is in the HLO), so flops/step
+    here divided by the measured step time is honest achieved FLOP/s."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from avtex.config import Config
+    from avtex.contrastive.model import ContrastiveTextures
+    from avtex.train.loop import create_state, make_train_step
+
+    rng = np.random.default_rng(0)
+    bs, negs, W, res = 4, 3, 15, 224
+    cfg = Config(enc_arch="slowfast", model_type=1, img_size=res, window=W,
+                 stride=6, train_stride=6, n_negs=negs, batch_size=bs,
+                 lr=0.01)
+    model = ContrastiveTextures(arch="slowfast", model_type=1,
+                                temp=cfg.temp, remat=True)
+    batch = {
+        "q_frames": (rng.random((bs, W, res, res, 3)) * 255)
+        .astype(np.uint8),
+        "t_frames": (rng.random((bs, negs + 1, W, res, res, 3)) * 255)
+        .astype(np.uint8),
+        "q_ids": np.arange(bs),
+    }
+    state, tx = create_state(model, cfg, batch, 10, slowfast=True)
+    step = make_train_step(model, tx, res, slowfast=True)
+    import jax.numpy as jnp
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    t0 = time.perf_counter()
+    compiled = step.lower(state, dev_batch, jax.random.key(0)).compile()
+    print(f"compiled in {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca["flops"])
+    clips = bs * (negs + 2)  # queries + (negs+1) targets per sample
+    print(f"train-step flops (bs={bs}, negs={negs}, {clips} clip-forwards "
+          f"incl. remat recompute): {flops:.4g}")
+    print(f"flops_per_step = {flops:.4g}")
+
+
 def main() -> None:
     import jax  # noqa: E402
     jax.config.update("jax_platforms", "cpu")
@@ -61,4 +105,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        main_train()
+    else:
+        main()
