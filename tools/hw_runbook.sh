@@ -1,0 +1,69 @@
+#!/bin/bash
+# Healthy-window hardware measurement runbook.
+#
+# The remote TPU pool wedges for hours at a time (CLAUDE.md "Environment
+# gotchas"); when a healthy window opens, this script harvests every
+# hardware number the round needs, in priority order, each step behind
+# its own timeout so a re-wedge cannot take the session down. Logs to
+# $OUT (default /tmp/hw_r4). Run: bash tools/hw_runbook.sh
+set -u
+cd "$(dirname "$0")/.."
+OUT=${OUT:-/tmp/hw_r4}
+mkdir -p "$OUT"
+stamp() { date +%H:%M:%S; }
+
+probe() {
+  timeout 180 python -c "
+import time, numpy as np
+t0=time.perf_counter()
+import jax, jax.numpy as jnp
+jax.devices()
+a=jnp.ones((1024,1024), jnp.bfloat16)
+f=jax.jit(lambda a: jnp.dot(a,a,preferred_element_type=jnp.bfloat16))
+np.asarray(f(a))
+ts=[]
+for _ in range(3):
+    tp=time.perf_counter(); np.asarray(f(a)); ts.append(time.perf_counter()-tp)
+ms=min(ts)*1000
+print(f'probe {ms:.1f} ms init {time.perf_counter()-t0:.1f} s')
+raise SystemExit(0 if ms < 60 else 2)
+" 2>&1
+}
+
+echo "$(stamp) runbook start" | tee -a "$OUT/runbook.log"
+p=$(probe); rc=$?
+echo "$(stamp) $p" | tee -a "$OUT/runbook.log"
+if [ $rc -ne 0 ]; then
+  echo "$(stamp) pool not healthy (rc=$rc) — aborting" | tee -a "$OUT/runbook.log"
+  exit 2
+fi
+
+run_step() {  # name timeout_s cmd...
+  local name=$1 t=$2; shift 2
+  echo "$(stamp) [$name] start: $*" | tee -a "$OUT/runbook.log"
+  timeout "$t" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "$(stamp) [$name] rc=$rc" | tee -a "$OUT/runbook.log"
+  tail -5 "$OUT/$name.log" | sed 's/^/    /' | tee -a "$OUT/runbook.log"
+  # re-probe between steps; stop the harvest if the pool re-wedged
+  p=$(probe) || { echo "$(stamp) pool degraded after $name — stopping" \
+                  | tee -a "$OUT/runbook.log"; exit 3; }
+  echo "$(stamp) $p" | tee -a "$OUT/runbook.log"
+}
+
+# 1. the round's bench line (highest value: the artifact of record)
+run_step bench 1800 python bench.py
+
+# 2. flagship train step corroboration (0.444 s claim)
+run_step train_step 1500 python tools/train_step_bench.py 4 3 15
+
+# 3. classic pipeline at production scale (0.061 s claim)
+run_step classic 900 python tools/classic_bench.py 1800 64
+
+# 4. int8 quant probe (BASELINE.md open question)
+run_step quant 900 python tools/quant_probe.py
+
+# 5. flagship CLI end-to-end with stage timings (VERDICT item 8)
+run_step cli_e2e 2400 bash tools/cli_e2e.sh
+
+echo "$(stamp) runbook done" | tee -a "$OUT/runbook.log"
