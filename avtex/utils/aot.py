@@ -14,9 +14,12 @@ call 0.05 s (no compile), outputs identical to the in-process executable.
   out = exe(*args)
 
 Keys are namespaced by backend platform, device kind, device count and
-jax version — a payload from a different topology fails to load, so any
-load error silently falls back to a fresh compile (and overwrites the
-stale entry). Entries live under ``~/.cache/avtex/aot`` (override with
+jax version — plus, on CPU backends, a host ISA fingerprint: XLA:CPU AOT
+results bake in the compile machine's features and only WARN on mismatch
+(SIGILL risk), and this filesystem migrates between physical hosts. A
+payload from a different topology/host misses or fails to load, and any
+load error falls back (with a warning) to a fresh compile that
+overwrites the stale entry. Entries live under ``~/.cache/avtex/aot`` (override with
 ``AVTEX_AOT_CACHE``; set it empty to disable persistence entirely).
 """
 
@@ -39,11 +42,40 @@ def _cache_dir() -> str | None:
     return d or None
 
 
+def _host_cpu_fingerprint() -> str:
+    """Hash of the host CPU's ISA feature set (Linux /proc/cpuinfo).
+
+    XLA:CPU AOT executables bake in the compile machine's features; this
+    filesystem can migrate between physical hosts, and loading an
+    executable compiled for a different feature set risks SIGILL (the
+    loader only warns). Keying on the feature flags turns a foreign-host
+    entry into a cache miss instead.
+    """
+    import platform as _platform
+
+    flags = "no-cpuinfo"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = hashlib.sha256(
+                        " ".join(sorted(line.split()[2:])).encode()
+                    ).hexdigest()[:12]
+                    break
+    except OSError:
+        pass
+    return f"{_platform.machine()}-{flags}"
+
+
 def _backend_tag() -> str:
     import jax
 
     dev = jax.devices()[0]
-    return f"{dev.platform}-{dev.device_kind}-{len(jax.devices())}-{jax.__version__}"
+    tag = (f"{dev.platform}-{dev.device_kind}-{len(jax.devices())}"
+           f"-{jax.__version__}")
+    if dev.platform == "cpu":
+        tag += f"-{_host_cpu_fingerprint()}"
+    return tag
 
 
 def _entry_path(cache_dir: str, key: str, tag: str) -> str:

@@ -86,3 +86,20 @@ def test_device_walk_aot_matches_plain(tmp_path, monkeypatch):
     np.testing.assert_array_equal(aot.nonzero_counts, plain.nonzero_counts)
     np.testing.assert_allclose(aot.pos_prob, plain.pos_prob, rtol=1e-6)
     assert any(p.endswith(".aotexe") for p in os.listdir(tmp_path))
+
+
+def test_backend_tag_fingerprints_host_cpu(monkeypatch):
+    """On CPU backends the cache tag must include the host ISA feature
+    set: XLA:CPU AOT executables bake in machine features and only warn
+    on mismatch (SIGILL risk), and this filesystem migrates between
+    physical hosts."""
+    from avtex.utils import aot
+
+    fp = aot._host_cpu_fingerprint()
+    tag = aot._backend_tag()
+    assert fp in tag and "cpu" in tag
+
+    # a different feature set must change the fingerprint (hence the key)
+    monkeypatch.setattr(
+        aot, "_host_cpu_fingerprint", lambda: "x86_64-deadbeef")
+    assert aot._backend_tag() != tag
