@@ -25,8 +25,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-from avtex.contrastive.segments import (gather_windows, num_segments,
-                                        sample_negatives)
+from avtex.contrastive.segments import gather_windows, sample_negatives
 
 
 class SegmentBatches:

@@ -20,7 +20,7 @@ import numpy as np
 from avtex.audio.mel import waveform_to_examples
 from avtex.config import Config
 from avtex.contrastive.model import ContrastiveTextures
-from avtex.contrastive.segments import gather_windows, num_segments
+from avtex.contrastive.segments import gather_windows
 from avtex.media import read_video, read_wav, save_texture_outputs
 from avtex.obs import Timer
 

@@ -40,7 +40,6 @@ class TextureServer:
 
         from avtex.audio import waveform_to_examples
         from avtex.contrastive.model import ContrastiveTextures
-        from avtex.contrastive.segments import num_segments
         from avtex.media import read_video, read_wav
 
         self.video, self.fps = read_video(video_path, cfg.subsample_rate)
@@ -123,7 +122,6 @@ class TextureServer:
         if driving_audio is not None:
             from avtex.audio import waveform_to_examples
             from avtex.media import read_wav
-            from avtex.synth.engine import seed_segment
             from avtex.synth.pipeline import driving_audio_rows
             drv, d_sr = read_wav(driving_audio)
             drv_eg = np.asarray(waveform_to_examples(drv, d_sr))
