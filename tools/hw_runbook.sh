@@ -51,7 +51,11 @@ run_step() {  # name timeout_s cmd...
   echo "$(stamp) $p" | tee -a "$OUT/runbook.log"
 }
 
-# 1. the round's bench line (highest value: the artifact of record)
+# 1. the round's bench line (highest value: the artifact of record).
+# Twice: the first run pays the one-time cold compile (the cache dir is
+# namespaced per host ISA since round 4) and warms the cache the
+# driver's end-of-round bench will hit; the second is the clean number.
+run_step bench_cold 1800 python bench.py
 run_step bench 1800 python bench.py
 
 # 2. flagship train step corroboration (0.444 s claim)
