@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-workers", "-j", type=int, default=0)
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-resume", "--resume", default="")
+    p.add_argument("-allow_random_init", action="store_true",
+                   help="synthesize with random-init params when no "
+                        "checkpoint is found (the reference asserts, "
+                        "main.py:536; this is the explicit opt-out)")
     p.add_argument("-daf_resume", "--daf_resume", nargs="+", default=None,
                    help="VideoForAudio checkpoint(s) for -daf Contrastive")
     p.add_argument("-fps", type=float, default=None,
@@ -115,6 +119,7 @@ def args_to_config(args: argparse.Namespace):
         log_freq=args.log_freq, val_freq=args.val_freq,
         start_epoch=args.start_epoch,
         resume=args.resume, evaluate=args.evaluate,
+        allow_random_init=args.allow_random_init,
         visualize_evaluate=args.visualize_evaluate, logdir=args.logdir,
         logname=args.logname, results_folder=args.results_folder,
         ckpt=args.ckpt,
@@ -189,7 +194,18 @@ def run_one_video(cfg, video_name: str, mesh=None) -> None:
         print(f"[avtex] restored checkpoint {resume} "
               f"(epoch {payload['epoch']}, loss {payload['best_loss']:.4f})")
     else:
-        import jax
+        # The reference asserts here (main.py:536) — a missing checkpoint at
+        # eval means the train/eval flag strings don't match and the walk
+        # would silently run on random weights. norm="affine" is exempt:
+        # that configuration auto-loads pretrained frozen-BN imports inside
+        # synthesize() and needs no train checkpoint.
+        if not (cfg.allow_random_init or cfg.norm == "affine"):
+            raise FileNotFoundError(
+                f"No checkpoint found at '{resume}'. Pass the same "
+                f"hyperparameter flags (-bs/-negs/-w/-stride/...) used at "
+                f"training so the derived path matches, give -resume "
+                f"explicitly, or pass -allow_random_init to synthesize "
+                f"with random weights anyway.")
         print(f"[avtex] no checkpoint at {resume}; random-init params",
               file=sys.stderr)
         model = ContrastiveTextures(arch=cfg.enc_arch,

@@ -87,6 +87,10 @@ class Config:
     val_freq: int = 5
     resume: str = ""
     evaluate: bool = False              # -e
+    # The reference hard-asserts when the auto-derived eval checkpoint is
+    # missing (reference: main.py:536); set this to synthesize with
+    # random-init params anyway (demos / smoke tests).
+    allow_random_init: bool = False     # -allow_random_init
     visualize_evaluate: bool = False    # -ve
     logdir: str = "./logs"
     logname: str = "exp"

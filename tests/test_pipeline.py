@@ -56,6 +56,24 @@ def test_synthesize_with_driving_audio(tiny_clip, tmp_path):
     assert out["paths"]
 
 
+def test_eval_without_checkpoint_fails_loudly(tiny_clip, tmp_path):
+    """-e with no checkpoint at the flag-derived path must fail like the
+    reference's assert (main.py:536) — synthesizing on random weights is
+    only allowed with the explicit -allow_random_init opt-out (or
+    norm=affine, whose pretrained auto-load is the intended no-ckpt path).
+    """
+    from avtex.cli.main import main
+    args = ["-m", "1", "-e", "-vdata", tiny_clip["dir"], "-vl", "clip",
+            "-ea", "resnet10", "-size", "32", "-th", "0.5", "-nvl", "2",
+            "-ckpt", str(tmp_path / "no_ckpt"), "-nintp",
+            "-results_folder", str(tmp_path / "res"),
+            "-logdir", str(tmp_path / "logs")]
+    with pytest.raises(FileNotFoundError, match="No checkpoint found"):
+        main(args)
+    main(args + ["-allow_random_init"])
+    assert os.listdir(tmp_path / "res")
+
+
 def test_classic_cli(tiny_clip, tmp_path):
     from avtex.cli.classic_main import main
     main(["-m", "1", "-vdata", tiny_clip["dir"], "-vl", "clip",

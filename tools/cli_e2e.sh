@@ -32,8 +32,11 @@ python -m avtex.cli.main "${common[@]}" -bs 2 -negs 8 -epochs 2 -lr 1e-2
 echo "train_wall_s $((SECONDS - t0))"
 
 echo "=== synthesize: 30 s texture, th=0.2 ==="
+# Same hyperparameter flags as training: the best-checkpoint path is
+# derived from the flag string (reference main.py:520-534), and the CLI
+# refuses to synthesize on random weights when the derivation misses.
 t1=$SECONDS
-python -m avtex.cli.main "${common[@]}" -e -th 0.2 -nvl 30
+python -m avtex.cli.main "${common[@]}" -bs 2 -negs 8 -e -th 0.2 -nvl 30
 echo "synth_wall_s $((SECONDS - t1))"
 echo "total_wall_s $((SECONDS - t0))"
 ls -la "$WORK/results" || true

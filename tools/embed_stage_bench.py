@@ -18,12 +18,13 @@ Usage: python tools/embed_stage_bench.py [--batch 64] [--reps 6]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def fetch(x):

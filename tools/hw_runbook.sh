@@ -9,6 +9,10 @@
 set -u
 cd "$(dirname "$0")/.."
 OUT=${OUT:-/tmp/hw_r4}
+# Health gate in ms (healthy floor ~30; mildly-degraded pool ~70-125).
+# Loosen (e.g. PROBE_MS=150) to harvest degraded-but-alive numbers — each
+# step's own probe stamp records the actual pool state alongside.
+PROBE_MS=${PROBE_MS:-60}
 mkdir -p "$OUT"
 stamp() { date +%H:%M:%S; }
 
@@ -26,7 +30,7 @@ for _ in range(3):
     tp=time.perf_counter(); np.asarray(f(a)); ts.append(time.perf_counter()-tp)
 ms=min(ts)*1000
 print(f'probe {ms:.1f} ms init {time.perf_counter()-t0:.1f} s')
-raise SystemExit(0 if ms < 60 else 2)
+raise SystemExit(0 if ms < $PROBE_MS else 2)
 " 2>&1
 }
 

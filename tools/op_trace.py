@@ -16,13 +16,14 @@ import argparse
 import collections
 import functools
 import glob
+import os
 import sys
 import tempfile
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_xspace(logdir: str, top: int):

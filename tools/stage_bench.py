@@ -13,12 +13,13 @@ Usage: python tools/stage_bench.py [--bt 832] [--reps 6] [--ks 1,2,4,8]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def fetch(x):

@@ -10,12 +10,13 @@ Usage: python tools/train_ab.py [batch] [negs] [window] [reps]
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -9,10 +9,13 @@ Usage: python tools/train_step_bench.py [batch] [negs] [window]
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
