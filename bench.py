@@ -65,6 +65,17 @@ def _backend_alive_child(timeout_s: float = 150.0) -> bool:
     return False
 
 
+def _probe_timeout(attempt: int) -> float:
+    """Child-probe timeout for the Nth liveness attempt (escalating).
+
+    150 s catches healthy pools fast; later attempts stretch to 450 s so
+    a ~100x-degraded pool (CLAUDE.md; 91 s probe round trip observed
+    2026-08-19) still gets classified alive and measured — the in-main
+    health gate then stamps the run degraded rather than forfeiting it.
+    """
+    return min(150.0 * attempt, 450.0)
+
+
 def _acquire_backend(budget_s: float = None, *, _devices_fn=None,
                      _sleep=time.sleep, _reset=None, _probe_fn=None):
     """Return jax with a live backend, retrying transient init failures.
@@ -93,7 +104,20 @@ def _acquire_backend(budget_s: float = None, *, _devices_fn=None,
 
     devices_fn = _devices_fn or jax.devices
     reset = _reset or default_reset
-    probe_fn = _probe_fn or _backend_alive_child
+    if _probe_fn is None:
+        # Escalate the child timeout across attempts: a degraded-but-ALIVE
+        # pool can round-trip the probe in 1-3 min (91 s observed
+        # 2026-08-19 while the fixed 150 s timeout kept classifying it as
+        # wedged) — slow must not be indistinguishable from hung, or a
+        # capturable degraded number is forfeited exactly like BENCH_r03.
+        _state = {"attempt": 0}
+
+        def probe_fn():
+            _state["attempt"] += 1
+            return _backend_alive_child(
+                timeout_s=_probe_timeout(_state["attempt"]))
+    else:
+        probe_fn = _probe_fn
 
     t0 = time.perf_counter()
     while not probe_fn():

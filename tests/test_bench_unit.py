@@ -106,6 +106,37 @@ def test_wedged_probe_retries_then_raises():
     assert probes["n"] == 4  # 0s, 60s, 120s fail -> 180s >= 150: raise
 
 
+def test_probe_timeout_escalates_and_caps():
+    """Degraded-but-alive pools round-trip the probe in 1-3 min (91 s
+    observed 2026-08-19); a fixed 150 s timeout classified them as wedged
+    forever. Later attempts must stretch, bounded so the budget check
+    still gets control."""
+    from bench import _probe_timeout
+    assert _probe_timeout(1) == 150.0
+    assert _probe_timeout(2) == 300.0
+    assert _probe_timeout(3) == 450.0
+    assert _probe_timeout(10) == 450.0  # capped
+
+
+def test_default_probe_path_passes_escalating_timeouts(monkeypatch):
+    """The real (non-injected) probe path must feed _probe_timeout(n) to
+    the child on the nth attempt."""
+    import bench as bench_mod
+
+    seen = []
+
+    def fake_child(timeout_s=150.0):
+        seen.append(timeout_s)
+        return len(seen) >= 3  # wedged twice, then alive
+
+    monkeypatch.setattr(bench_mod, "_backend_alive_child", fake_child)
+    out = bench_mod._acquire_backend(
+        budget_s=3600.0, _devices_fn=lambda: ["dev"],
+        _sleep=lambda s: None, _reset=lambda: None)
+    assert out is not None
+    assert seen == [150.0, 300.0, 450.0]
+
+
 def test_probe_recovers_then_init_succeeds():
     probes = {"n": 0}
 
