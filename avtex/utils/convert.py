@@ -232,11 +232,69 @@ def convert_vggish(torch_state: Dict[str, np.ndarray], flax_params):
     return _assign_in_order(flax_params, convs)
 
 
-def convert_slomo(torch_state: Dict[str, np.ndarray], flax_params):
-    """SuperSloMo.ckpt (flowComp + arbTimeFlowIntrp) -> avtex SuperSloMo."""
+def _assign_convs_in_call_order(module, flax_params, example_args,
+                                conv_pairs):
+    """Replace conv kernels/biases pairing torch declaration order against
+    the flax modules' TRUE first-call order (via a capture pass).
+
+    Alphabetical tree-flatten order is wrong for nested nets: in the
+    SuperSloMo UNet ``Conv_2`` (the final conv3) sorts before ``_Down_0``,
+    and ``arb_time`` sorts before ``flow_comp`` — but torch state dicts
+    list registration order (conv1, conv2, downs, ups, conv3; flowComp
+    before arbTimeFlowIntrp). Call order matches torch registration order
+    for these nets, so pair on that, asserting shapes per slot.
+    """
+    import jax
+
+    call_order = _module_call_order(module, flax_params, *example_args)
+    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
+    by_module: Dict[str, dict] = {}
+    for path, leaf in flat:
+        keys = [str(getattr(p, "key", p)) for p in path]
+        if keys[-1] not in ("kernel", "bias") or np.ndim(leaf) < 1:
+            continue
+        mod = "/".join(k for k in keys[:-1] if k != "params")
+        by_module.setdefault(mod, {})[keys[-1]] = leaf
+    conv_slots = [(m, by_module[m]) for m in call_order
+                  if by_module.get(m, {}).get("kernel") is not None
+                  and np.ndim(by_module[m]["kernel"]) >= 3]
+    if len(conv_slots) != len(conv_pairs):
+        raise ValueError(
+            f"conv count mismatch: flax has {len(conv_slots)}, torch ckpt "
+            f"has {len(conv_pairs)}")
+
+    replacements = {}
+    for (mod, d), (w, b) in zip(conv_slots, conv_pairs):
+        if tuple(d["kernel"].shape) != tuple(w.shape):
+            raise ValueError(
+                f"shape mismatch at {mod}: flax {d['kernel'].shape} vs "
+                f"torch {w.shape}")
+        replacements[mod + "/kernel"] = w
+        if b is not None and "bias" in d:
+            replacements[mod + "/bias"] = b
+
+    def rebuild(path, leaf):
+        keys = "/".join(str(getattr(p, "key", p)) for p in path
+                        if str(getattr(p, "key", p)) != "params")
+        if keys in replacements:
+            return np.asarray(replacements[keys], dtype=np.float32)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(rebuild, flax_params)
+
+
+def convert_slomo(torch_state: Dict[str, np.ndarray], module, flax_params,
+                  *example_args):
+    """SuperSloMo.ckpt (flowComp + arbTimeFlowIntrp) -> avtex SuperSloMo.
+
+    ``module``/``example_args`` drive one capture pass to recover the true
+    conv call order (golden-tested against the reference's own torch nets,
+    tests/test_reference_parity.py::test_slomo_matches_reference_net).
+    """
     convs = [c for c in _ordered_convs_from_torch(torch_state)
              if c[0].ndim == 4]
-    return _assign_in_order(flax_params, convs)
+    return _assign_convs_in_call_order(module, flax_params, example_args,
+                                       convs)
 
 
 def find_vggish_checkpoint(explicit: str = None) -> str:
@@ -322,9 +380,14 @@ def maybe_make_slomo_interp_fn(path: str = None, size=(224, 224)):
     found = find_slomo_checkpoint(path)
     if found is None:
         return None
+    import jax.numpy as jnp
+
     from avtex.synth.interp import init_slomo, make_interp_fn
     module, params = init_slomo(size=size)
-    params = convert_slomo(load_torch_state(found), params)
+    # call-order capture is shape-independent; run it tiny
+    ex = jnp.zeros((1, 32, 32, 3))
+    params = convert_slomo(load_torch_state(found), module, params,
+                           ex, ex, (0.5,))
     print(f"[avtex] loaded pretrained SuperSloMo weights from {found}")
     return make_interp_fn(module, params)
 
@@ -662,5 +725,16 @@ def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     for wrap in ("state_dict", "model_state"):  # pyslowfast uses model_state
         if isinstance(obj, dict) and wrap in obj:
             obj = obj[wrap]
+    # SuperSloMo.ckpt stores two nested state dicts (the reference loads
+    # them into flowComp / ArbTimeFlowIntrp separately, validate.py:183-185);
+    # flatten them FC-first to match the avtex SuperSloMo call order.
+    if isinstance(obj, dict) and "state_dictFC" in obj and \
+            "state_dictAT" in obj:
+        flat = {}
+        for prefix, sub in (("flowComp", obj["state_dictFC"]),
+                            ("arbTimeFlowIntrp", obj["state_dictAT"])):
+            for k, v in sub.items():
+                flat[f"{prefix}.{k}"] = v
+        obj = flat
     return {k: v.numpy() for k, v in obj.items()
             if hasattr(v, "numpy")}

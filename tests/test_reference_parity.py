@@ -907,6 +907,127 @@ def test_max_length_clip_vs_reference(reference_max_length):
         assert ours_steps <= max(n - 1, 1), (n, ours_steps)
 
 
+@pytest.fixture(scope="module")
+def ref_slomo():
+    """The reference's own SuperSloMo nets (models/slowmo.py:10-283),
+    imported with torchvision stubbed (it is imported but never used by
+    the classes)."""
+    import importlib.util
+
+    for m in ["torchvision", "torchvision.transforms"]:
+        _stub(m)
+    spec = importlib.util.spec_from_file_location(
+        "ref_slowmo",
+        "/root/reference/contrastive_video_textures/models/slowmo.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_backwarp_matches_reference_grid_sample(ref_slomo):
+    """avtex backwarp vs the reference's own backWarp module
+    (models/slowmo.py:211-283) on CPU: the reference's grid_sample call
+    (default align_corners=False, zeros padding) samples at
+    (x+u-0.5, y+v-0.5) with out-of-image taps contributing zero — at an
+    even and an odd spatial size, with flows large enough to leave the
+    image."""
+    import warnings
+
+    import jax.numpy as jnp
+    import torch
+
+    from avtex.nn.slomo import backwarp
+
+    for seed, (h, w) in [(0, (6, 8)), (1, (7, 9))]:
+        g = np.random.default_rng(seed)
+        img = g.standard_normal((2, 3, h, w)).astype(np.float32)
+        flow = (g.standard_normal((2, 2, h, w)) * 3).astype(np.float32)
+        warper = ref_slomo.backWarp(w, h, torch.device("cpu"))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            with torch.no_grad():
+                ref = warper(torch.from_numpy(img),
+                             torch.from_numpy(flow)).numpy()
+        ours = np.asarray(backwarp(
+            jnp.asarray(img.transpose(0, 2, 3, 1)),
+            jnp.asarray(flow.transpose(0, 2, 3, 1)))).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"size {(h, w)}")
+
+
+def test_slomo_matches_reference_net(ref_slomo, tmp_path):
+    """Golden numeric parity for the full SuperSloMo surface: the
+    reference's own UNet(6,4) + UNet(20,5) + backWarp (models/slowmo.py)
+    driven by the reference's own interpolation math exec'd verbatim from
+    interpolate.py:101-136, vs avtex SuperSloMo after converting a
+    real-format checkpoint ({state_dictFC, state_dictAT}, what
+    validate.py:183-185 loads) through the load_torch_state +
+    convert_slomo path. H=32 (even bottleneck extent) x W=96 (odd
+    extent 3 at the bottom, exercising the upsample grid on odd sizes)."""
+    import warnings
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    H, W, SF = 32, 96, 4
+    torch.manual_seed(5)
+    flow_comp = ref_slomo.UNet(6, 4)
+    arb_time = ref_slomo.UNet(20, 5)
+    warper = ref_slomo.backWarp(W, H, torch.device("cpu"))
+
+    g = np.random.default_rng(9)
+    i0 = (g.random((1, 3, H, W)).astype(np.float32) - 0.43)
+    i1 = (g.random((1, 3, H, W)).astype(np.float32) - 0.43)
+
+    # the reference's own interpolation statements (interpolate.py)
+    lines = open("/root/reference/contrastive_video_textures/"
+                 "interpolate.py").read().splitlines()
+    snip_flow = _extract_block(lines, "flowOut = self.flowComp",
+                               "F_1_0 = flowOut")
+    snip_step = _extract_block(lines, "temp = -t * (1 - t)",
+                               "g_I1_F_t_1_f) / (wCoeff")
+    ns = {
+        "torch": torch,
+        "self": SimpleNamespace(flowComp=flow_comp,
+                                ArbTimeFlowIntrp=arb_time,
+                                flowBackWarp=warper),
+        "I0": torch.from_numpy(i0), "I1": torch.from_numpy(i1),
+    }
+    ref_frames = []
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        with torch.no_grad():
+            exec(snip_flow, ns)
+            for k in range(1, SF):
+                ns["t"] = k / SF
+                exec(snip_step, ns)
+                ref_frames.append(ns["Ft_p"].numpy())
+    ref_out = np.stack(ref_frames)  # [SF-1, 1, 3, H, W]
+
+    # save a real-format checkpoint and run the avtex import path
+    ckpt = tmp_path / "SuperSloMo.ckpt"
+    torch.save({"state_dictFC": flow_comp.state_dict(),
+                "state_dictAT": arb_time.state_dict(),
+                "epoch": 0}, str(ckpt))
+
+    from avtex.nn.slomo import SuperSloMo
+    from avtex.utils.convert import convert_slomo, load_torch_state
+
+    m = SuperSloMo(dtype=jnp.float32)
+    x0 = jnp.asarray(i0.transpose(0, 2, 3, 1))
+    x1 = jnp.asarray(i1.transpose(0, 2, 3, 1))
+    ts = tuple(k / SF for k in range(1, SF))
+    params = jax.jit(m.init, static_argnums=3)(jax.random.key(0), x0, x1,
+                                               ts)
+    params = convert_slomo(load_torch_state(str(ckpt)), m, params,
+                           x0, x1, ts)
+    ours = np.asarray(m.apply(params, x0, x1, ts))  # [SF-1, 1, H, W, 3]
+    ours = ours.transpose(0, 1, 4, 2, 3)
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-3, atol=1e-4)
+
+
 def test_import_slowfast_tool(tmp_path):
     """tools/import_slowfast.py end-to-end on a pytorch-format checkpoint
     with pyslowfast naming (reduced geometry via --layers/--width): must

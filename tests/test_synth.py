@@ -230,29 +230,38 @@ def test_slomo_checkpoint_autoload(tmp_path, monkeypatch):
     assert maybe_make_slomo_interp_fn() is None
 
     # synthesize a torch state dict with exactly the flax nets' conv
-    # shapes in declaration order (what convert_slomo pairs on)
+    # shapes in CALL order (what convert_slomo pairs on), split into the
+    # real checkpoint's {state_dictFC, state_dictAT} layout
     import jax
-    _, params = init_slomo(size=(32, 32))
+    import jax.numpy as jnp
+
+    from avtex.utils.convert import _module_call_order
+
+    module, params = init_slomo(size=(32, 32))
+    ex = jnp.zeros((1, 32, 32, 3))
+    order = _module_call_order(module, params, ex, ex, (0.5,))
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     mods = {}
     for path, leaf in flat:
         keys = [str(getattr(p, "key", p)) for p in path]
-        mods.setdefault("/".join(keys[:-1]), {})[keys[-1]] = leaf
-    state = {}
-    i = 0
-    for mod, d in mods.items():
+        mods.setdefault("/".join(k for k in keys[:-1] if k != "params"),
+                        {})[keys[-1]] = leaf
+    fc, at = {}, {}
+    for i, mod in enumerate(order):
+        d = mods.get(mod, {})
         k = d.get("kernel")
         if k is None or k.ndim != 4:
             continue
         w = np.transpose(np.asarray(k), (3, 2, 0, 1))  # flax -> torch
-        state[f"m.{i}.weight"] = torch.tensor(
+        dest = fc if mod.startswith("flow_comp") else at
+        dest[f"m.{i}.weight"] = torch.tensor(
             np.random.default_rng(i).standard_normal(w.shape)
             .astype(np.float32) * 0.05)
         if "bias" in d:
-            state[f"m.{i}.bias"] = torch.tensor(
+            dest[f"m.{i}.bias"] = torch.tensor(
                 np.zeros(k.shape[-1], np.float32))
-        i += 1
-    torch.save(state, tmp_path / "SuperSloMo.ckpt")
+    torch.save({"state_dictFC": fc, "state_dictAT": at},
+               tmp_path / "SuperSloMo.ckpt")
     monkeypatch.setenv("AVTEX_SLOMO_CKPT", str(tmp_path / "SuperSloMo.ckpt"))
 
     fn = maybe_make_slomo_interp_fn(size=(32, 32))
