@@ -104,22 +104,29 @@ def _acquire_backend(budget_s: float = None, *, _devices_fn=None,
 
     devices_fn = _devices_fn or jax.devices
     reset = _reset or default_reset
+    t0 = time.perf_counter()
     if _probe_fn is None:
         # Escalate the child timeout across attempts: a degraded-but-ALIVE
         # pool can round-trip the probe in 1-3 min (91 s observed
         # 2026-08-19 while the fixed 150 s timeout kept classifying it as
         # wedged) — slow must not be indistinguishable from hung, or a
         # capturable degraded number is forfeited exactly like BENCH_r03.
+        # Each timeout is also capped at the remaining budget so a wedged
+        # pool cannot overrun budget_s by a whole 450 s probe (the budget
+        # check runs between probes, not inside them).
         _state = {"attempt": 0}
 
         def probe_fn():
             _state["attempt"] += 1
+            remaining = budget_s - (time.perf_counter() - t0)
+            if remaining <= 0:
+                return False  # budget spent: let the loop's check raise
             return _backend_alive_child(
-                timeout_s=_probe_timeout(_state["attempt"]))
+                timeout_s=max(min(_probe_timeout(_state["attempt"]),
+                                  remaining), 10.0))
     else:
         probe_fn = _probe_fn
 
-    t0 = time.perf_counter()
     while not probe_fn():
         if time.perf_counter() - t0 >= budget_s:
             raise RuntimeError(
@@ -156,8 +163,27 @@ def _acquire_backend(budget_s: float = None, *, _devices_fn=None,
                 pass
 
 
+def _best_run_stats(times, tables_s, L, n_chips):
+    """Headline + throughput stamp from the SAME run (the best one).
+
+    BENCH_r04's MFU was computed from whichever run happened LAST while
+    ``value`` was the min over runs — in a swinging pool those describe
+    different windows. Returns (elapsed_s, median_s, embed_best_s,
+    clips_per_sec_per_chip), all derived from the min-total-time run.
+    """
+    best_i = int(np.argmin(times))
+    elapsed = float(times[best_i])
+    embed_best = float(tables_s[best_i])
+    clips_per_sec_per_chip = 2 * L / embed_best / n_chips
+    return elapsed, float(np.median(times)), embed_best, \
+        clips_per_sec_per_chip
+
+
 def main() -> None:
     jax = _acquire_backend()
+    # acquisition may have consumed most of a fixed deadline via escalated
+    # probes; restart the clock so the deadline budgets the measurement
+    _rearm_watchdog()
     import jax.numpy as jnp
 
     from avtex.utils.cache import enable_compilation_cache
@@ -309,20 +335,19 @@ def main() -> None:
     # shared remote pool whose queueing noise swamps run-to-run variance
     # (spreads of 7-19 s for identical work were observed); the minimum is
     # the system's capability, and all runs are reported in detail.
-    times = []
+    times, tables_s = [], []
     for _ in range(4):
         t0 = time.perf_counter()
         result = run()
         stitched = stitch_texture(video, result.indices, W, S, sf=cfg.SF,
                                   interpolate=False)
         times.append(time.perf_counter() - t0)
-    elapsed = min(times)
-    median_s = float(np.median(times))
+        tables_s.append(table_time[0])
 
     assert len(stitched["frames"]) >= seconds * fps * 0.9
-    clips_per_sec_per_chip = (
-        2 * L / table_time[0] / (len(jax.devices())
-                                 if mesh is not None else 1))
+    elapsed, median_s, embed_best_s, clips_per_sec_per_chip = \
+        _best_run_stats(times, tables_s, L,
+                        len(jax.devices()) if mesh is not None else 1)
     global PEAK_TFLOPS
     PEAK_TFLOPS = _PEAK_TFLOPS_BY_KIND.get(
         jax.devices()[0].device_kind, PEAK_TFLOPS)
@@ -341,7 +366,11 @@ def main() -> None:
             # BASELINE.json primary throughput metric (per chip: divide by
             # the mesh size when the multi-chip path ran)
             "clips_per_sec_per_chip": round(clips_per_sec_per_chip, 1),
-            "embed_tables_s": round(table_time[0], 3),
+            # embed time of the BEST run (the run `value` reports), plus
+            # every run's embed time — MFU and the headline must describe
+            # the same pool window
+            "embed_tables_s": round(embed_best_s, 3),
+            "embed_tables_s_runs": [round(x, 3) for x in tables_s],
             # MXU utilization of the embed stage. flops_per_clip is the
             # XLA HLO cost analysis of one single-clip SlowFast-R50@224
             # affine forward (tools/flops_count.py; conv+dot FLOPs, i.e.
@@ -385,21 +414,12 @@ def main() -> None:
     }))
 
 
-def _arm_watchdog() -> None:
-    """Emit the error line ourselves if the pool hangs outright.
+_WATCHDOG = {"timer": None, "deadline": 0.0}
 
-    The shared remote pool sometimes wedges completely (device transfers
-    never return — observed for >1.5 h stretches, 2026-08). A hung run
-    killed by an external timeout records NOTHING; this deadline prints
-    an attributable error JSON and exits first. Healthy runs finish in
-    2-4 min; degraded-but-alive runs in 10-20 — the default 1800 s only
-    fires on a true hang. Override with AVTEX_BENCH_DEADLINE_S (0 = off).
-    """
+
+def _start_watchdog_timer(deadline: float):
     import os
     import threading
-    deadline = float(os.environ.get("AVTEX_BENCH_DEADLINE_S", "1800"))
-    if deadline <= 0:
-        return
 
     def fire():
         print(json.dumps({"metric": "e2e_embed_score_synthesize_1min30fps_s",
@@ -412,6 +432,44 @@ def _arm_watchdog() -> None:
     t = threading.Timer(deadline, fire)
     t.daemon = True
     t.start()
+    return t
+
+
+def _arm_watchdog() -> None:
+    """Emit the error line ourselves if the pool hangs outright.
+
+    The shared remote pool sometimes wedges completely (device transfers
+    never return — observed for >1.5 h stretches, 2026-08). A hung run
+    killed by an external timeout records NOTHING; this deadline prints
+    an attributable error JSON and exits first. Healthy runs finish in
+    2-4 min; degraded-but-alive runs in 10-20 — the default 1800 s only
+    fires on a true hang. Override with AVTEX_BENCH_DEADLINE_S (0 = off).
+    """
+    import os
+    deadline = float(os.environ.get("AVTEX_BENCH_DEADLINE_S", "1800"))
+    if deadline <= 0:
+        return
+    _WATCHDOG["deadline"] = deadline
+    _WATCHDOG["timer"] = _start_watchdog_timer(deadline)
+
+
+def _rearm_watchdog() -> None:
+    """Restart the deadline clock with the full deadline remaining.
+
+    Backend acquisition can legitimately consume ~17 min through the
+    escalating probes (150+60+300+60+450 s); counted against a fixed
+    1800 s deadline, that leaves too little for the degraded-but-alive
+    measurement the escalation exists to capture. main() re-arms after
+    acquisition so the deadline budgets the MEASUREMENT, while a hang
+    during acquisition is still bounded by the original arm (acquisition
+    is itself hang-safe: child probes time out and the budget raises).
+    No-op when the watchdog is off.
+    """
+    t = _WATCHDOG.get("timer")
+    if t is None:
+        return
+    t.cancel()
+    _WATCHDOG["timer"] = _start_watchdog_timer(_WATCHDOG["deadline"])
 
 
 if __name__ == "__main__":

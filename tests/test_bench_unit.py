@@ -137,6 +137,95 @@ def test_default_probe_path_passes_escalating_timeouts(monkeypatch):
     assert seen == [150.0, 300.0, 450.0]
 
 
+def test_probe_timeout_capped_at_remaining_budget(monkeypatch):
+    """A wedged pool must not overrun budget_s by a whole 450 s probe:
+    each child timeout is capped at the remaining budget (ADVICE r4)."""
+    import time as _time
+
+    import bench as bench_mod
+
+    clock = {"t": 0.0}
+    seen = []
+
+    def fake_child(timeout_s=150.0):
+        seen.append(timeout_s)
+        clock["t"] += timeout_s  # a wedged probe burns its whole timeout
+        return False
+
+    monkeypatch.setattr(bench_mod, "_backend_alive_child", fake_child)
+    real = _time.perf_counter
+    _time.perf_counter = lambda: clock["t"]
+    try:
+        with pytest.raises(RuntimeError, match="pool wedged"):
+            bench_mod._acquire_backend(
+                budget_s=200.0, _devices_fn=lambda: ["dev"],
+                _sleep=lambda s: clock.__setitem__("t", clock["t"] + s),
+                _reset=lambda: None)
+    finally:
+        _time.perf_counter = real
+    # attempt 1: min(150, 200) = 150; sleep 60 -> t=210 >= 200: raise.
+    assert seen == [150.0]
+    # and with a budget below the first escalation step, the cap engages
+    clock["t"] = 0.0
+    seen.clear()
+    _time.perf_counter = lambda: clock["t"]
+    try:
+        with pytest.raises(RuntimeError, match="pool wedged"):
+            bench_mod._acquire_backend(
+                budget_s=100.0, _devices_fn=lambda: ["dev"],
+                _sleep=lambda s: clock.__setitem__("t", clock["t"] + s),
+                _reset=lambda: None)
+    finally:
+        _time.perf_counter = real
+    assert seen == [100.0]  # capped at the whole (remaining) budget
+
+
+def test_watchdog_rearm_restarts_deadline(monkeypatch):
+    """_rearm_watchdog must cancel the acquisition-era timer and start a
+    fresh one with the full deadline (ADVICE r4: escalated probes can eat
+    ~17 min of a fixed 1800 s deadline before measurement starts)."""
+    import bench as bench_mod
+
+    monkeypatch.setenv("AVTEX_BENCH_DEADLINE_S", "9999")
+    bench_mod._arm_watchdog()
+    first = bench_mod._WATCHDOG["timer"]
+    assert first is not None and first.is_alive()
+    try:
+        bench_mod._rearm_watchdog()
+        second = bench_mod._WATCHDOG["timer"]
+        assert second is not first
+        assert second.is_alive()
+        assert first.finished.is_set()  # cancelled
+        assert bench_mod._WATCHDOG["deadline"] == 9999.0
+    finally:
+        bench_mod._WATCHDOG["timer"].cancel()
+        bench_mod._WATCHDOG["timer"] = None
+
+
+def test_rearm_is_noop_when_watchdog_off():
+    import bench as bench_mod
+
+    bench_mod._WATCHDOG["timer"] = None
+    bench_mod._rearm_watchdog()  # must not raise
+    assert bench_mod._WATCHDOG["timer"] is None
+
+
+def test_best_run_stats_uses_best_runs_embed_time():
+    """MFU/clips-per-sec must be stamped from the run `value` reports
+    (BENCH_r04 stamped the LAST run's table time against the MIN run's
+    headline — different pool windows)."""
+    from bench import _best_run_stats
+
+    times = [3.567, 3.980, 1.140, 2.507]       # r4's actual runs
+    tables = [3.2, 3.6, 0.996, 2.2]
+    elapsed, median, embed, cps = _best_run_stats(times, tables, L=450,
+                                                  n_chips=1)
+    assert elapsed == 1.140
+    assert embed == 0.996
+    assert cps == pytest.approx(2 * 450 / 0.996)
+    assert median == pytest.approx((2.507 + 3.567) / 2)
+
+
 def test_probe_recovers_then_init_succeeds():
     probes = {"n": 0}
 
