@@ -73,35 +73,69 @@ def preprocess_clip(frames: jnp.ndarray, size: int = 224,
     return (x - jnp.asarray(mean)) / jnp.asarray(std)
 
 
+def _jittered_scale_crop(x: jnp.ndarray, k_scale: jax.Array,
+                         k_crop: jax.Array, size: int,
+                         min_size: int, max_size: int) -> jnp.ndarray:
+    """Short-side scale jitter + random crop with the reference's EXACT
+    distribution, fused into one gather per element.
+
+    Reference semantics composed (transform.py:9-51 then :54-77): sample
+    short-side target s = round(uniform(min, max)), resize so the short
+    side is s (long side floor-scaled, bilinear align_corners=False, no
+    antialias), then crop at integer offsets drawn from randint(0, d-size)
+    (EXCLUSIVE high — the reference's crop never touches the last
+    position; quirk preserved). TPU-first: instead of materializing the
+    resized clip, the resize∘crop composition is a single
+    ``jax.image.scale_and_translate`` with traced scale (nh/H, nw/W) and
+    translation (-oy, -ox) — verified equal to torch resize-then-crop to
+    fp32 rounding, including border crops. Static output shape; the
+    sampled size only enters as a traced float.
+    """
+    b, _, h, w = x.shape[:4]
+    s = jnp.round(jax.random.uniform(
+        k_scale, (b,), minval=float(min_size), maxval=float(max_size)))
+    # short-side rule; h, w are static so the branch resolves at trace time
+    if w < h:
+        nw, nh = s, jnp.floor(h / w * s)
+    elif h < w:
+        nh, nw = s, jnp.floor(w / h * s)
+    else:
+        nh = nw = s
+    u = jax.random.uniform(k_crop, (b, 2))
+    lim_y, lim_x = nh - size, nw - size
+    oy = jnp.where(lim_y > 0, jnp.floor(u[:, 0] * lim_y), 0.0)
+    ox = jnp.where(lim_x > 0, jnp.floor(u[:, 1] * lim_x), 0.0)
+
+    def one(clip, nh1, nw1, oy1, ox1):
+        return jax.image.scale_and_translate(
+            clip, (clip.shape[0], size, size, clip.shape[3]), (1, 2),
+            jnp.stack([nh1 / h, nw1 / w]), jnp.stack([-oy1, -ox1]),
+            "bilinear", antialias=False)
+
+    return jax.vmap(one)(x, nh, nw, oy, ox)
+
+
 @functools.partial(jax.jit, static_argnames=("size", "slowfast"))
 def augment_and_preprocess(frames: jnp.ndarray, rng: jax.Array,
                            size: int = 224, slowfast: bool = False,
                            scale_range: Tuple[float, float] = (0.8, 1.2),
                            jitter: float = 0.2) -> jnp.ndarray:
     """Train-time augs, whole-clip-consistent (reference: transform.py,
-    dataset_utils.py:11-62): scale jitter + random crop + h-flip +
-    brightness/contrast/saturation jitter, then normalize.
+    dataset_utils.py:11-62): short-side scale jitter + random crop (the
+    reference's exact distribution, fused — see _jittered_scale_crop) +
+    h-flip + brightness/contrast/saturation jitter, then normalize.
 
     frames: uint8 [B, T, H, W, 3] (aug params drawn per batch element).
+    scale_range maps to short-side targets [round(size*lo), round(size*hi)]
+    clamped so the crop always fits (short side >= size).
     """
     b = frames.shape[0]
     k_scale, k_crop, k_flip, k_bright, k_contrast, k_sat = jax.random.split(rng, 6)
     x = frames.astype(jnp.float32) / 255.0
 
-    # Scale jitter + crop: resize to a jittered size then crop back to
-    # `size`. Implemented as a fixed resize to round(size*max_scale) and a
-    # random crop window per element (static shapes under jit).
-    big = int(round(size * scale_range[1]))
-    x = _resize_clip(x, big)
-    lim = big - size
-    offs = jax.random.randint(k_crop, (b, 2), 0, lim + 1)
-
-    def crop_one(clip, off):
-        return jax.lax.dynamic_slice(
-            clip, (0, off[0], off[1], 0),
-            (clip.shape[0], size, size, clip.shape[3]))
-
-    x = jax.vmap(crop_one)(x, offs)
+    min_size = max(size, int(round(size * scale_range[0])))
+    max_size = max(min_size + 1, int(round(size * scale_range[1])))
+    x = _jittered_scale_crop(x, k_scale, k_crop, size, min_size, max_size)
 
     # Horizontal flip (p=0.5 per element).
     flip = jax.random.bernoulli(k_flip, 0.5, (b,))
@@ -164,3 +198,74 @@ def scale_uniform_crop_norm(frames: jnp.ndarray, scale_size: int = 240,
     x = _resize_clip(x, scale_size, antialias=False)
     x = uniform_crop(x, crop_size, spatial_idx)
     return ((x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD))
+
+
+def random_short_side_scale_jitter(frames: jnp.ndarray, min_size: int,
+                                   max_size: int, rng=None,
+                                   inverse_uniform_sampling: bool = False
+                                   ) -> jnp.ndarray:
+    """Short-side scale jitter, reference-exact (transform.py:9-51), NHWC.
+
+    Samples a short-side target ``round(uniform(min, max))`` (or the
+    reciprocal-uniform variant), returns the frames unchanged when the
+    short side already matches, else resizes so the short side is the
+    target and the long side is ``floor(ratio * target)`` — bilinear
+    align_corners=False, no antialias (torch F.interpolate semantics).
+
+    ``rng`` needs ``.uniform``; pass the legacy ``np.random`` module (the
+    reference's global stream) for bit-identical draws — the default.
+    Host-side by design (output shape is data-dependent); the jitted
+    training path uses the fused fixed-shape composition in
+    ``_jittered_scale_crop`` with this same distribution. Unlike the
+    reference — which returns a 1-tuple when it resizes and the bare
+    tensor when it skips (transform.py:39 vs :47-51) — this always
+    returns the array.
+    """
+    import math
+
+    import numpy as np
+
+    if rng is None:
+        rng = np.random
+    if inverse_uniform_sampling:
+        size = int(round(1.0 / rng.uniform(1.0 / max_size, 1.0 / min_size)))
+    else:
+        size = int(round(rng.uniform(min_size, max_size)))
+    h, w = frames.shape[-3], frames.shape[-2]
+    if (w <= h and w == size) or (h <= w and h == size):
+        return frames
+    new_h = new_w = size
+    if w < h:
+        new_h = int(math.floor(float(h) / w * size))
+    else:
+        new_w = int(math.floor(float(w) / h * size))
+    out_shape = frames.shape[:-3] + (new_h, new_w, frames.shape[-1])
+    return jax.image.resize(frames.astype(jnp.float32), out_shape,
+                            method="bilinear", antialias=False)
+
+
+def lighting_jitter(frames: jnp.ndarray, alphastd: float, eigval,
+                    eigvec, rng=None) -> jnp.ndarray:
+    """AlexNet-style PCA lighting jitter, reference-exact
+    (transform.py:264-291), NHWC.
+
+    One alpha ~ N(0, alphastd)^3 draw per call (whole-clip-consistent);
+    the per-channel shift is ``rgb[2 - c]`` — the reference indexes the
+    PCA shift CHANNEL-REVERSED (transform.py:288), a quirk preserved here
+    for parity. ``rng`` needs ``.normal``; defaults to the legacy
+    ``np.random`` module (the reference's global stream).
+    """
+    import numpy as np
+
+    if rng is None:
+        rng = np.random
+    if alphastd == 0:
+        return frames
+    alpha = rng.normal(0, alphastd, size=(1, 3))
+    eig_vec = np.array(eigvec)
+    eig_val = np.reshape(eigval, (1, 3))
+    rgb = np.sum(eig_vec * np.repeat(alpha, 3, axis=0)
+                 * np.repeat(eig_val, 3, axis=0), axis=1)
+    # out[..., c] = frames[..., c] + rgb[2 - c]
+    shift = jnp.asarray(rgb[::-1].copy(), jnp.float32)
+    return frames.astype(jnp.float32) + shift

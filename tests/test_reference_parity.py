@@ -333,6 +333,127 @@ def test_scale_uniform_crop_norm_matches_reference_val_branch(ref_transform):
                                       crop_size=32, split="val")
 
 
+@pytest.mark.parametrize("hw,minmax", [((36, 24), (20, 30)),
+                                       ((24, 36), (20, 30)),
+                                       ((32, 32), (28, 40))])
+def test_short_side_scale_jitter_matches_reference(ref_transform, hw,
+                                                   minmax):
+    """avtex random_short_side_scale_jitter vs the reference's own
+    transform.random_short_side_scale_jitter (transform.py:9-51), sharing
+    the reference's global np.random stream — identical sampled size,
+    shapes and pixels across aspect ratios, including the skip-resize
+    branch and the inverse-uniform variant."""
+    import torch
+
+    from avtex.data.preprocess import random_short_side_scale_jitter
+
+    h, w = hw
+    g = np.random.default_rng(11)
+    x = g.random((4, 3, h, w)).astype(np.float32)  # [T, C, H, W]
+    for inverse in (False, True):
+        for seed in (0, 1, 2, 7):
+            np.random.seed(seed)
+            ref = ref_transform.random_short_side_scale_jitter(
+                torch.tensor(x), *minmax, inverse_uniform_sampling=inverse)
+            if isinstance(ref, tuple):  # reference returns a 1-tuple when
+                ref = ref[0]            # it resizes (transform.py:47-51)
+            np.random.seed(seed)
+            ours = random_short_side_scale_jitter(
+                np.transpose(x, (0, 2, 3, 1)), *minmax,
+                inverse_uniform_sampling=inverse)
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref.numpy(),
+                rtol=1e-5, atol=1e-5,
+                err_msg=f"hw={hw} seed={seed} inverse={inverse}")
+
+
+def test_lighting_jitter_matches_reference(ref_transform):
+    """avtex lighting_jitter vs the reference's own transform.
+    lighting_jitter (transform.py:264-291), sharing the reference's
+    global np.random stream — including its channel-REVERSED rgb[2-idx]
+    shift quirk and the alphastd=0 passthrough."""
+    import torch
+
+    from avtex.data.preprocess import lighting_jitter
+
+    # AlexNet-paper PCA stats (the reference takes them as arguments; its
+    # caller is dead code so any values exercise the math)
+    eigval = [0.2175, 0.0188, 0.0045]
+    eigvec = [[-0.5675, 0.7192, 0.4009],
+              [-0.5808, -0.0045, -0.8140],
+              [-0.5836, -0.6948, 0.4203]]
+    g = np.random.default_rng(13)
+    x = g.random((5, 3, 12, 10)).astype(np.float32)  # [T, C, H, W]
+    for seed in (0, 3, 9):
+        np.random.seed(seed)
+        ref = ref_transform.lighting_jitter(torch.tensor(x), 0.1, eigval,
+                                            eigvec)
+        np.random.seed(seed)
+        ours = lighting_jitter(np.transpose(x, (0, 2, 3, 1)), 0.1, eigval,
+                               eigvec)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref.numpy(),
+            rtol=1e-5, atol=1e-6, err_msg=f"seed={seed}")
+    # alphastd=0 passthrough (transform.py:277-278)
+    out = lighting_jitter(np.transpose(x, (0, 2, 3, 1)), 0.0, eigval,
+                          eigvec)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.transpose(x, (0, 2, 3, 1)))
+
+
+def test_fused_scale_crop_matches_reference_at_same_draws(ref_transform,
+                                                          monkeypatch):
+    """The jitted training aug's fused scale-jitter+crop
+    (_jittered_scale_crop: one scale_and_translate) vs the reference's own
+    random_short_side_scale_jitter + random_crop with the SAME draws
+    injected — pixel-level agreement of the resize∘crop composition.
+    The avtex side's jax-key draws are recomputed on host and fed to the
+    reference's np.random calls."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from avtex.data.preprocess import _jittered_scale_crop
+
+    h, w, size = 40, 56, 24
+    min_size, max_size = 26, 38
+    g = np.random.default_rng(17)
+    clip = g.random((2, h, w, 3)).astype(np.float32)  # [T, H, W, 3]
+    k_scale, k_crop = jax.random.key(3), jax.random.key(4)
+    ours = np.asarray(_jittered_scale_crop(
+        jnp.asarray(clip[None]), k_scale, k_crop, size, min_size, max_size)
+    )[0]
+
+    # recompute the avtex draws on host
+    s_float = float(jax.random.uniform(k_scale, (1,), minval=float(min_size),
+                                       maxval=float(max_size))[0])
+    s = int(jnp.round(s_float))
+    u = np.asarray(jax.random.uniform(k_crop, (1, 2)))[0]
+    nh, nw = s, s
+    if w < h:
+        nh = int(np.floor(h / w * s))
+    elif h < w:
+        nw = int(np.floor(w / h * s))
+    oy = int(np.floor(u[0] * (nh - size))) if nh > size else 0
+    ox = int(np.floor(u[1] * (nw - size))) if nw > size else 0
+
+    # drive the reference's own functions with those exact draws (its
+    # random_crop only draws for dims strictly larger than the crop)
+    draws = iter([s_float])
+    ints = iter(([oy] if nh > size else []) + ([ox] if nw > size else []))
+    monkeypatch.setattr(np.random, "uniform",
+                        lambda *a, **k: next(draws))
+    monkeypatch.setattr(np.random, "randint",
+                        lambda *a, **k: next(ints))
+    ref = ref_transform.random_short_side_scale_jitter(
+        torch.tensor(np.transpose(clip, (0, 3, 1, 2))), min_size, max_size)
+    if isinstance(ref, tuple):
+        ref = ref[0]
+    ref = ref_transform.random_crop(ref, size)
+    np.testing.assert_allclose(np.transpose(ours, (0, 3, 1, 2)),
+                               ref.numpy(), rtol=1e-4, atol=1e-5)
+
+
 def test_preprocess_clip_live_constants_match_reference():
     """preprocess_clip's non-SlowFast normalize uses the reference's LIVE
     constants (validate.py:88-93 / dataset.py:48-58), and the SlowFast path
