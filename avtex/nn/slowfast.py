@@ -49,6 +49,18 @@ BETA_INV = 8       # slow/fast channel ratio
 FAST_FRAMES = 32
 SLOW_FRAMES = FAST_FRAMES // ALPHA
 
+# Structured-rematerialization knob, read at TRACE time (same pattern as
+# resnet3d.GN_F32_OUT): a jax.checkpoint policy passed to nn.remat when
+# SlowFastR50.remat is on. None = the blanket nothing-saveable default
+# (save block inputs only, recompute everything in backward). Every conv
+# output inside SFBottleneck is tagged checkpoint_name("conv_out"), so
+# jax.checkpoint_policies.save_only_these_names("conv_out") saves the
+# expensive conv results and rematerializes only the cheap norm/relu
+# elementwise tail — the classic save-dots policy, expressed for convs
+# (which are conv_general_dilated in the jaxpr, invisible to the
+# dots_* stock policies). A/B'd in one process by tools/train_ab.py.
+REMAT_POLICY = None
+
 
 class _ConvKernel(nn.Module):
     """Param holder matching nn.Conv's tree (Conv_k/kernel) so the fused
@@ -109,10 +121,16 @@ class SFBottleneck(nn.Module):
         def conv(idx, z, feats, kernel, strides=(1, 1, 1)):
             # torch-explicit padding (k//2 per axis): identical to SAME at
             # stride 1, tap-exact vs torch at stride 2 on even extents.
+            # Outputs are checkpoint_name-tagged so a save_only_these_names
+            # remat policy (see REMAT_POLICY) can keep conv results and
+            # recompute only the norm/relu tail; the tag is a no-op
+            # otherwise.
+            from jax.ad_checkpoint import checkpoint_name
             pad = tuple((kk // 2, kk // 2) for kk in kernel)
-            return nn.Conv(feats, kernel, strides, padding=pad,
-                           use_bias=False, dtype=self.dtype,
-                           name=f"Conv_{idx}")(z)
+            y = nn.Conv(feats, kernel, strides, padding=pad,
+                        use_bias=False, dtype=self.dtype,
+                        name=f"Conv_{idx}")(z)
+            return checkpoint_name(y, "conv_out")
 
         def norm(idx, ch):
             if self.norm == "affine":
@@ -292,7 +310,10 @@ class SlowFastR50(nn.Module):
         # step OOMs a 16 GB chip at 20 clips without it). Names are pinned
         # to the plain class's auto-names so remat (train) and non-remat
         # (inference) checkpoints stay interchangeable.
-        Block = nn.remat(SFBottleneck) if self.remat else SFBottleneck
+        # REMAT_POLICY (module-level trace-time knob) selects WHAT the
+        # backward saves; None keeps the blanket save-nothing default.
+        Block = (nn.remat(SFBottleneck, policy=REMAT_POLICY)
+                 if self.remat else SFBottleneck)
         block_idx = 0
         slow_t = (1, 1, 3, 3)
         for i, n_blocks in enumerate(self.layers):
