@@ -8,7 +8,7 @@
 # $OUT (default /tmp/hw_r4). Run: bash tools/hw_runbook.sh
 set -u
 cd "$(dirname "$0")/.."
-OUT=${OUT:-/tmp/hw_r4}
+OUT=${OUT:-/tmp/hw_r5}
 # Health gate in ms (healthy floor ~30; mildly-degraded pool ~70-125).
 # Loosen (e.g. PROBE_MS=150) to harvest degraded-but-alive numbers — each
 # step's own probe stamp records the actual pool state alongside.
@@ -62,16 +62,22 @@ run_step() {  # name timeout_s cmd...
 run_step bench_cold 1800 python bench.py
 run_step bench 1800 python bench.py
 
-# 2. flagship train step corroboration (0.444 s claim)
-run_step train_step 1500 python tools/train_step_bench.py 4 3 15
+# 2. structured-remat A/B on the flagship train step (VERDICT r5 #4):
+# remat_full vs remat_convs (save conv outputs, recompute norm/relu)
+# vs no_remat, interleaved in one process.
+run_step train_ab_remat 2400 python tools/train_ab.py remat 4 3 15 5
 
-# 3. classic pipeline at production scale (0.061 s claim)
-run_step classic 900 python tools/classic_bench.py 1800 64
+# 3. long-video scale proof (VERDICT r5 #8a): host vs AOT device walk
+# at L=297/2048/4096.
+run_step walk_scale 1200 python tools/walk_scale_bench.py
 
-# 4. int8 quant probe (BASELINE.md open question)
-run_step quant 900 python tools/quant_probe.py
+# 4. fused classic pipeline at N=4096 (VERDICT r5 #8b; Pallas D1 tiling
+# at a size whose O(N^2 F) repeats the reference cannot materialize).
+run_step classic_4096 1200 python tools/classic_bench.py 4096 64
 
-# 5. flagship CLI end-to-end with stage timings (VERDICT item 8)
-run_step cli_e2e 2400 bash tools/cli_e2e.sh
+# 5. audio-conditioned flagship end-to-end (VERDICT r5 #2): -m 2 train,
+# then -e -da driving -alpha 0.5 -daf VGG — the paper's headline mode,
+# never before executed on hardware.
+run_step audio_e2e 3600 bash tools/audio_e2e.sh
 
 echo "$(stamp) runbook done" | tee -a "$OUT/runbook.log"
