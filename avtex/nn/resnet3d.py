@@ -56,6 +56,25 @@ class Affine(nn.Module):
 
 GN_F32_OUT = False  # A/B knob: True restores pre-round-3 fp32 GN outputs
 
+# Structured-rematerialization knob, read at TRACE time (like GN_F32_OUT):
+# a jax.checkpoint policy passed to nn.remat when a model's remat flag is
+# on — shared by every 3D encoder family (ResNet3D/ResNeXt/DenseNet via
+# this module, SlowFast via avtex/nn/slowfast.py). None = the blanket
+# nothing-saveable default. Conv outputs inside the blocks are tagged
+# checkpoint_name("conv_out"), so
+# jax.checkpoint_policies.save_only_these_names("conv_out") saves the
+# expensive conv results and rematerializes only the cheap norm/relu tail
+# (convs are conv_general_dilated in the jaxpr — invisible to the stock
+# dots_* policies). A/B'd in one process by tools/train_ab.py.
+REMAT_POLICY = None
+
+
+def _tag_conv(y):
+    """checkpoint_name tag for conv outputs (no-op unless a
+    save_only_these_names REMAT_POLICY is active)."""
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(y, "conv_out")
+
 
 def gn_dtype(dtype):
     """GroupNorm OUTPUT dtype. Stats are always computed in fp32 (flax
@@ -83,16 +102,17 @@ class BasicBlock3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         r = x
-        y = nn.Conv(self.features, (3, 3, 3), self.stride, padding=PAD1,
-                    use_bias=False, dtype=self.dtype)(x)
+        y = _tag_conv(nn.Conv(self.features, (3, 3, 3), self.stride,
+                              padding=PAD1, use_bias=False,
+                              dtype=self.dtype)(x))
         y = _norm(self.features, self.dtype, self.norm)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3, 3), padding=PAD1,
-                    use_bias=False, dtype=self.dtype)(y)
+        y = _tag_conv(nn.Conv(self.features, (3, 3, 3), padding=PAD1,
+                              use_bias=False, dtype=self.dtype)(y))
         y = _norm(self.features, self.dtype, self.norm)(y)
         if r.shape[-1] != self.features or self.stride != (1, 1, 1):
-            r = nn.Conv(self.features, (1, 1, 1), self.stride,
-                        use_bias=False, dtype=self.dtype)(x)
+            r = _tag_conv(nn.Conv(self.features, (1, 1, 1), self.stride,
+                                  use_bias=False, dtype=self.dtype)(x))
             r = _norm(self.features, self.dtype, self.norm)(r)
         return nn.relu(y + r.astype(y.dtype))
 
@@ -109,20 +129,22 @@ class Bottleneck3D(nn.Module):
     def __call__(self, x):
         r = x
         out_ch = self.features * self.expansion
-        y = nn.Conv(self.features, (1, 1, 1), use_bias=False,
-                    dtype=self.dtype)(x)
+        y = _tag_conv(nn.Conv(self.features, (1, 1, 1), use_bias=False,
+                              dtype=self.dtype)(x))
         y = _norm(self.features, self.dtype, self.norm)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3, 3), self.stride, padding=PAD1,
-                    feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype)(y)
+        y = _tag_conv(nn.Conv(self.features, (3, 3, 3), self.stride,
+                              padding=PAD1,
+                              feature_group_count=self.groups,
+                              use_bias=False, dtype=self.dtype)(y))
         y = _norm(self.features, self.dtype, self.norm)(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = _tag_conv(nn.Conv(out_ch, (1, 1, 1), use_bias=False,
+                              dtype=self.dtype)(y))
         y = _norm(out_ch, self.dtype, self.norm)(y)
         if r.shape[-1] != out_ch or self.stride != (1, 1, 1):
-            r = nn.Conv(out_ch, (1, 1, 1), self.stride, use_bias=False,
-                        dtype=self.dtype)(x)
+            r = _tag_conv(nn.Conv(out_ch, (1, 1, 1), self.stride,
+                                  use_bias=False, dtype=self.dtype)(x))
             r = _norm(out_ch, self.dtype, self.norm)(r)
         return nn.relu(y + r.astype(y.dtype))
 
@@ -152,8 +174,10 @@ class ResNet3D(nn.Module):
         x = nn.max_pool(x, (3, 3, 3), (2, 2, 2), padding=PAD1)
         # nn.remat changes the auto-generated module names; pin the plain
         # class's names explicitly so remat (train) and non-remat
-        # (inference) checkpoints stay interchangeable.
-        block_cls = nn.remat(self.block) if self.remat else self.block
+        # (inference) checkpoints stay interchangeable. REMAT_POLICY
+        # (module-level trace-time knob) selects WHAT the backward saves.
+        block_cls = (nn.remat(self.block, policy=REMAT_POLICY)
+                     if self.remat else self.block)
         idx = 0
         for i, n_blocks in enumerate(self.layers):
             feats = self.width * (2 ** i)

@@ -49,17 +49,11 @@ BETA_INV = 8       # slow/fast channel ratio
 FAST_FRAMES = 32
 SLOW_FRAMES = FAST_FRAMES // ALPHA
 
-# Structured-rematerialization knob, read at TRACE time (same pattern as
-# resnet3d.GN_F32_OUT): a jax.checkpoint policy passed to nn.remat when
-# SlowFastR50.remat is on. None = the blanket nothing-saveable default
-# (save block inputs only, recompute everything in backward). Every conv
-# output inside SFBottleneck is tagged checkpoint_name("conv_out"), so
-# jax.checkpoint_policies.save_only_these_names("conv_out") saves the
-# expensive conv results and rematerializes only the cheap norm/relu
-# elementwise tail — the classic save-dots policy, expressed for convs
-# (which are conv_general_dilated in the jaxpr, invisible to the
-# dots_* stock policies). A/B'd in one process by tools/train_ab.py.
-REMAT_POLICY = None
+# The structured-rematerialization knob lives in avtex.nn.resnet3d
+# (REMAT_POLICY, shared by every 3D encoder family); it is read at TRACE
+# time via the module attribute so tools/train_ab.py can flip it between
+# closures. Conv outputs inside SFBottleneck carry the same
+# checkpoint_name("conv_out") tags the resnet3d blocks do.
 
 
 class _ConvKernel(nn.Module):
@@ -310,9 +304,11 @@ class SlowFastR50(nn.Module):
         # step OOMs a 16 GB chip at 20 clips without it). Names are pinned
         # to the plain class's auto-names so remat (train) and non-remat
         # (inference) checkpoints stay interchangeable.
-        # REMAT_POLICY (module-level trace-time knob) selects WHAT the
-        # backward saves; None keeps the blanket save-nothing default.
-        Block = (nn.remat(SFBottleneck, policy=REMAT_POLICY)
+        # resnet3d.REMAT_POLICY (module-level trace-time knob) selects
+        # WHAT the backward saves; None keeps the blanket save-nothing
+        # default.
+        from . import resnet3d as _r3d
+        Block = (nn.remat(SFBottleneck, policy=_r3d.REMAT_POLICY)
                  if self.remat else SFBottleneck)
         block_idx = 0
         slow_t = (1, 1, 3, 3)

@@ -229,3 +229,69 @@ def test_trained_model_learns_loop_structure(tmp_path):
     loose = walk(state.params, 0.9)
     assert tight.jumps.sum() <= loose.jumps.sum(), (
         tight.jumps.sum(), loose.jumps.sum())
+
+
+@pytest.mark.slow
+def test_remat_policy_matches_blanket_remat():
+    """resnet3d.REMAT_POLICY = save_only_these_names('conv_out') (the
+    structured-remat variant A/B'd by tools/train_ab.py) must produce
+    the same train step as blanket per-bottleneck remat to bf16-rounding
+    tolerance: rematerialization changes WHAT the backward saves, never
+    the math. Guards the checkpoint_name tags in SFBottleneck against
+    silently detaching from the policy (a renamed tag would make the
+    policy save nothing and this would still pass numerically — so also
+    asserts the tagged name exists in the jaxpr)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avtex.contrastive.model import ContrastiveTextures
+    from avtex.nn import resnet3d, slowfast
+    from avtex.train.loop import create_state, make_train_step
+
+    g = np.random.default_rng(0)
+    batch = {
+        "q_frames": (g.random((2, 4, 32, 32, 3)) * 255).astype(np.uint8),
+        "t_frames": (g.random((2, 3, 4, 32, 32, 3)) * 255
+                     ).astype(np.uint8),
+    }
+    cfg = Config(enc_arch="slowfast", model_type=1, img_size=32, window=4,
+                 stride=2, train_stride=2, n_negs=2, batch_size=2, lr=0.01)
+    model = ContrastiveTextures(arch="slowfast", model_type=1,
+                                temp=cfg.temp, remat=True)
+    state, tx = create_state(model, cfg, batch, steps_per_epoch=10,
+                             slowfast=True)
+    db = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # the tag the policy keys on must be present in the traced program
+    import jax.numpy as _jnp
+    sf = slowfast.SlowFastR50(norm="group")
+    sl = _jnp.zeros((1, 8, 32, 32, 3))
+    fa = _jnp.zeros((1, 32, 32, 32, 3))
+    p = jax.eval_shape(sf.init, jax.random.key(0), sl, fa)
+    jaxpr = jax.make_jaxpr(
+        lambda pp: sf.apply(pp, sl, fa))(p)
+    assert "conv_out" in str(jaxpr), "checkpoint_name tag missing"
+
+    out = {}
+    for name, pol in (
+            ("full", None),
+            ("convs",
+             jax.checkpoint_policies.save_only_these_names("conv_out"))):
+        resnet3d.REMAT_POLICY = pol
+        try:
+            step = make_train_step(model, tx, cfg.img_size, slowfast=True)
+            st, m = step(state, db, jax.random.key(0))
+        finally:
+            resnet3d.REMAT_POLICY = None
+        out[name] = (float(m["loss"]), st.params)
+    l1, p1 = out["full"]
+    l2, p2 = out["convs"]
+    assert np.isfinite([l1, l2]).all()
+    # bf16 trunk: one-ulp-scale divergence between compilations is
+    # expected (measured 1.7e-3 relative); structural bugs are orders
+    # larger (the pre-fix backwarp diverged by 2.7 absolute).
+    assert abs(l1 - l2) / abs(l1) < 5e-3, (l1, l2)
+    import jax as _jax
+    mx = max(_jax.tree.leaves(_jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, p2)))
+    assert mx < 5e-2, mx

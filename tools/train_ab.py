@@ -11,7 +11,7 @@ Modes (first arg):
                         every conv output, recomputes only norm/relu
            no_remat     remat=False (recompute-free upper-memory bound;
                         recorded as OOM if the chip can't hold it)
-         Knob: avtex.nn.slowfast.REMAT_POLICY + the model's remat flag.
+         Knob: avtex.nn.resnet3d.REMAT_POLICY + the model's remat flag.
 
 Each variant gets its own make_train_step closure so all programs live in
 one process; params trees are identical across variants so one state is
@@ -48,7 +48,7 @@ def main():
 
     from avtex.config import Config
     from avtex.contrastive.model import ContrastiveTextures
-    from avtex.nn import resnet3d, slowfast
+    from avtex.nn import resnet3d
     from avtex.train.loop import create_state, make_train_step
 
     cfg = Config(enc_arch="slowfast", model_type=1, batch_size=bs,
@@ -81,7 +81,7 @@ def main():
         def mk_gn(f32):
             def setup():
                 resnet3d.GN_F32_OUT = f32
-                slowfast.REMAT_POLICY = None
+                resnet3d.REMAT_POLICY = None
                 return model
             return setup
         variant_defs = [("gn_bf16", mk_gn(False)), ("gn_f32", mk_gn(True))]
@@ -92,7 +92,7 @@ def main():
         def mk_remat(policy, m):
             def setup():
                 resnet3d.GN_F32_OUT = False
-                slowfast.REMAT_POLICY = policy
+                resnet3d.REMAT_POLICY = policy
                 return m
             return setup
         save_convs = jax.checkpoint_policies.save_only_these_names(
@@ -121,7 +121,7 @@ def main():
               f"loss {loss0:.4f}", file=sys.stderr, flush=True)
         variants[name] = (setup, step)
     resnet3d.GN_F32_OUT = False
-    slowfast.REMAT_POLICY = None
+    resnet3d.REMAT_POLICY = None
 
     times = {k: [] for k in variants}
     for r in range(reps):
@@ -134,7 +134,7 @@ def main():
             print(f"rep {r} {name}: {times[name][-1] * 1e3:.1f} ms",
                   file=sys.stderr, flush=True)
     resnet3d.GN_F32_OUT = False
-    slowfast.REMAT_POLICY = None
+    resnet3d.REMAT_POLICY = None
 
     out = {k: round(min(v) * 1e3, 1) for k, v in times.items()}
     out.update({k: f"FAILED {v}" for k, v in failed.items()})
