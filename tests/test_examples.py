@@ -47,3 +47,9 @@ def test_sharded_embed_example():
         "sharded_embed.py",
         extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
     assert "matches the unsharded embed" in out
+
+
+@pytest.mark.slow
+def test_audio_driven_example():
+    out = _run_example("audio_driven.py")
+    assert "epoch losses" in out and "audio-driven walk" in out
