@@ -11,14 +11,21 @@
 set -eu
 cd "$(dirname "$0")/.."
 WORK=${WORK:-/tmp/audio_e2e}
+# Hardware defaults (flagship geometry); override EA/SIZE for a cheap
+# CPU wiring check: EA=resnet10 SIZE=32 EPOCHS=1 bash tools/audio_e2e.sh
+EA=${EA:-slowfast}
+SIZE=${SIZE:-224}
+EPOCHS=${EPOCHS:-2}
 rm -rf "$WORK"; mkdir -p "$WORK/data/videos" "$WORK/data/audio" "$WORK/data/target"
 
-python - "$WORK/data" <<'EOF'
+SIZE=$SIZE python - "$WORK/data" <<'EOF'
+import os
 import sys
 import numpy as np
 from avtex.media import write_video, write_wav
 root = sys.argv[1]
-t, h, w, fps = 300, 224, 224, 30   # 10 s @ 30 fps
+hw = int(os.environ["SIZE"])
+t, h, w, fps = 300, hw, hw, 30   # 10 s @ 30 fps
 yy, xx = np.mgrid[0:h, 0:w]
 frames = np.stack([
     np.clip(np.sin(xx / 16 + 2 * np.pi * i / 60) * 90 + 127
@@ -43,13 +50,13 @@ write_wav(f"{root}/target/driving.wav", drv, sr)
 print("clip + source wav + driving wav written", frames.shape)
 EOF
 
-common=(-m 2 -ea slowfast -vdata "$WORK/data/videos" -adata "$WORK/data/audio"
-        -dadata "$WORK/data/target" -vl clip
+common=(-m 2 -ea "$EA" -size "$SIZE" -vdata "$WORK/data/videos"
+        -adata "$WORK/data/audio" -dadata "$WORK/data/target" -vl clip
         -ckpt "$WORK/ckpt" -logdir "$WORK/logs" -rf "$WORK/results")
 
-echo "=== train (-m 2): 2 epochs, bs=2, negs=8, AV towers ==="
+echo "=== train (-m 2): $EPOCHS epochs, bs=2, negs=8, AV towers ==="
 t0=$SECONDS
-python -m avtex.cli.main "${common[@]}" -bs 2 -negs 8 -epochs 2 -lr 1e-2
+python -m avtex.cli.main "${common[@]}" -bs 2 -negs 8 -epochs "$EPOCHS" -lr 1e-2
 echo "train_m2_wall_s $((SECONDS - t0))"
 
 echo "=== synthesize (-m 2 -e -da driving -alpha 0.5 -daf VGG) ==="
