@@ -172,12 +172,17 @@ def run_one_video(cfg, video_name: str, mesh=None) -> None:
     resume = cfg.resume or cfg.default_ckpt_path(video_name)
     params = None
     if os.path.exists(resume):
+        import time
+
         import jax
         import jax.numpy as jnp
         from avtex.data.preprocess import preprocess_clip
+        t0 = time.perf_counter()
         model = ContrastiveTextures(arch=cfg.enc_arch,
                                     model_type=cfg.model_type, temp=cfg.temp)
-        # init a template for restore
+        # init a template for restore (the jitted full-model init compile
+        # below is the dominant pre-pipeline cost on cold runs — printed so
+        # CLI wall time stays attributable alongside the pipeline timings)
         dummy = jnp.zeros((1, cfg.window, 32, 32, 3), jnp.uint8)
         x = preprocess_clip(dummy, size=cfg.img_size,
                             slowfast=cfg.enc_arch == "slowfast")
@@ -192,7 +197,8 @@ def run_one_video(cfg, video_name: str, mesh=None) -> None:
         payload = restore_checkpoint(resume, template)
         params = payload["state"]
         print(f"[avtex] restored checkpoint {resume} "
-              f"(epoch {payload['epoch']}, loss {payload['best_loss']:.4f})")
+              f"(epoch {payload['epoch']}, loss {payload['best_loss']:.4f}, "
+              f"init+restore {time.perf_counter() - t0:.1f}s)")
     else:
         # The reference asserts here (main.py:536) — a missing checkpoint at
         # eval means the train/eval flag strings don't match and the walk

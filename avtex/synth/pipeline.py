@@ -102,8 +102,10 @@ def synthesize(cfg: Config, video_path: str, params,
     audio_logits = None
     seed_id = min(cfg.start_segment, L - 1)
     if driving_examples is not None:
-        audio_logits, sid = driving_audio_rows(
-            cfg, video, audio_examples, driving_examples, steps, L, W, S)
+        with Timer() as t:
+            audio_logits, sid = driving_audio_rows(
+                cfg, video, audio_examples, driving_examples, steps, L, W, S)
+        timings["audio_rows_s"] = t.elapsed
         if sid is not None:
             seed_id = sid
 
@@ -130,7 +132,9 @@ def synthesize(cfg: Config, video_path: str, params,
         # Pretrained SuperSloMo when the checkpoint exists (the reference
         # always loads it, validate.py:183-185); crossfade otherwise.
         from avtex.utils.convert import maybe_make_slomo_interp_fn
-        interp_fn = maybe_make_slomo_interp_fn(size=video.shape[1:3])
+        with Timer() as t:
+            interp_fn = maybe_make_slomo_interp_fn(size=video.shape[1:3])
+        timings["interp_load_s"] = t.elapsed
     with Timer() as t:
         stitched = stitch_texture(
             video, result.indices, W, S, sf=cfg.SF,
