@@ -54,6 +54,9 @@ def test_synthesize_with_driving_audio(tiny_clip, tmp_path):
                      out_dir=str(tmp_path))
     assert len(out["result"].indices) >= 1
     assert out["paths"]
+    # the driving-audio scoring stage must be wall-attributed (it was the
+    # dominant untimed chunk in the round-5 hardware run)
+    assert "audio_rows_s" in out["timings"]
 
 
 def test_eval_without_checkpoint_fails_loudly(tiny_clip, tmp_path):
