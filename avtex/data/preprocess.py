@@ -219,7 +219,9 @@ def random_short_side_scale_jitter(frames: jnp.ndarray, min_size: int,
     ``_jittered_scale_crop`` with this same distribution. Unlike the
     reference — which returns a 1-tuple when it resizes and the bare
     tensor when it skips (transform.py:39 vs :47-51) — this always
-    returns the array.
+    returns the array, and always as float32: the reference converts in
+    its caller, so without the up-front cast a uint8 input's output
+    dtype would depend on which branch the RNG draw lands in.
     """
     import math
 
@@ -227,6 +229,7 @@ def random_short_side_scale_jitter(frames: jnp.ndarray, min_size: int,
 
     if rng is None:
         rng = np.random
+    frames = jnp.asarray(frames, jnp.float32)
     if inverse_uniform_sampling:
         size = int(round(1.0 / rng.uniform(1.0 / max_size, 1.0 / min_size)))
     else:
@@ -240,7 +243,7 @@ def random_short_side_scale_jitter(frames: jnp.ndarray, min_size: int,
     else:
         new_w = int(math.floor(float(w) / h * size))
     out_shape = frames.shape[:-3] + (new_h, new_w, frames.shape[-1])
-    return jax.image.resize(frames.astype(jnp.float32), out_shape,
+    return jax.image.resize(frames, out_shape,
                             method="bilinear", antialias=False)
 
 

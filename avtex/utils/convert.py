@@ -52,31 +52,34 @@ def _ordered_convs_from_torch(state: Dict[str, np.ndarray]
     return pairs
 
 
-def _assign_in_order(flax_params, conv_pairs):
-    """Walk the flax tree in insertion order, replacing conv kernels/biases."""
+def _group_by_module(flax_params, leaf_keys) -> Dict[str, dict]:
+    """Group flax leaves by module path: {"A/B": {"kernel": ..., ...}}.
+
+    The leading "params" collection key is dropped so module paths match
+    the capture-pass paths from _module_call_order. Dict order is JAX's
+    tree-flatten order (alphabetical per level).
+    """
     import jax
 
     flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
-    # group leaves by module path (drop the final 'kernel'/'bias' key)
-    slots: List[Tuple[str, dict]] = []
     by_module: Dict[str, dict] = {}
     for path, leaf in flat:
         keys = [str(getattr(p, "key", p)) for p in path]
-        if keys[-1] not in ("kernel", "bias") or np.ndim(leaf) < 1:
+        if keys[-1] not in leaf_keys or np.ndim(leaf) < 1:
             continue
-        mod = "/".join(keys[:-1])
-        if mod not in by_module:
-            by_module[mod] = {}
-            slots.append((mod, by_module[mod]))
-        by_module[mod][keys[-1]] = leaf
-    conv_slots = [(m, d) for m, d in slots if d.get("kernel") is not None
-                  and np.ndim(d["kernel"]) >= 3]
+        mod = "/".join(k for k in keys[:-1] if k != "params")
+        by_module.setdefault(mod, {})[keys[-1]] = leaf
+    return by_module
+
+
+def _replace_convs(conv_slots, conv_pairs) -> Dict[str, np.ndarray]:
+    """Pair flax conv slots against torch (kernel, bias) pairs, checking
+    count and per-slot shapes; returns the replacements dict."""
     if len(conv_slots) != len(conv_pairs):
         raise ValueError(
             f"conv count mismatch: flax has {len(conv_slots)}, torch ckpt "
             f"has {len(conv_pairs)}")
-
-    replacements = {}
+    replacements: Dict[str, np.ndarray] = {}
     for (mod, d), (w, b) in zip(conv_slots, conv_pairs):
         if tuple(d["kernel"].shape) != tuple(w.shape):
             raise ValueError(
@@ -85,14 +88,34 @@ def _assign_in_order(flax_params, conv_pairs):
         replacements[mod + "/kernel"] = w
         if b is not None and "bias" in d:
             replacements[mod + "/bias"] = b
+    return replacements
+
+
+def _rebuild_with(flax_params, replacements):
+    """Rebuild the flax tree with leaves swapped per the replacements dict
+    (keys are "params"-stripped module paths + "/kernel" etc.)."""
+    import jax
 
     def rebuild(path, leaf):
-        keys = "/".join(str(getattr(p, "key", p)) for p in path)
+        keys = "/".join(str(getattr(p, "key", p)) for p in path
+                        if str(getattr(p, "key", p)) != "params")
         if keys in replacements:
             return np.asarray(replacements[keys], dtype=np.float32)
         return leaf
 
     return jax.tree_util.tree_map_with_path(rebuild, flax_params)
+
+
+def _assign_in_order(flax_params, conv_pairs):
+    """Replace conv kernels/biases pairing torch declaration order against
+    the flax tree's flatten (alphabetical) order — correct for flat nets
+    like VGGish whose Conv_0..Conv_5 sort in declaration order."""
+    by_module = _group_by_module(flax_params, ("kernel", "bias"))
+    conv_slots = [(m, d) for m, d in by_module.items()
+                  if d.get("kernel") is not None
+                  and np.ndim(d["kernel"]) >= 3]
+    return _rebuild_with(flax_params,
+                         _replace_convs(conv_slots, conv_pairs))
 
 
 def _torch_tokens(state: Dict[str, np.ndarray], eps: float = 1e-5):
@@ -138,22 +161,33 @@ def _module_call_order(module, flax_params, *example_args) -> List[str]:
     """Module paths ("A/B/C") in first-call order, via a capture pass.
 
     Flax param dicts flatten alphabetically (Conv_0 sorts after
-    BasicBlock3D_*), so declaration order cannot be read off the tree;
-    capture_intermediates preserves true call order via dict insertion.
+    BasicBlock3D_*), so declaration order cannot be read off the tree.
+    The capture_intermediates FILTER fires once per module call at trace
+    time, so paths are recorded from the filter itself under an abstract
+    jax.eval_shape trace — zero device work (an eager forward here would
+    be 150+ sequential remote dispatches at the tunnel's ~30 ms floor
+    when the default backend is the TPU; returning the intermediates
+    dict through eval_shape does not work either, because JAX tree
+    flattening SORTS dict keys and destroys insertion order). The filter
+    fires post-order (a child sows before its parent returns), so each
+    path is expanded to all its prefixes — reproducing the insertion
+    order of the eager capture dict, where a parent key is created at
+    its first descendant's sow.
     """
-    _, state = module.apply(flax_params, *example_args,
-                            capture_intermediates=lambda mod, name: True)
-    order: List[str] = []
+    import jax
 
-    def walk(d, prefix):
-        for k, v in d.items():
-            if k == "__call__" or not hasattr(v, "items"):
-                continue
-            order.append("/".join(prefix + [k]))
-            walk(v, prefix + [k])
+    seen: Dict[str, None] = {}
 
-    walk(state["intermediates"], [])
-    return order
+    def record(mod, name):
+        path = tuple(str(p) for p in mod.path)
+        for i in range(1, len(path) + 1):
+            seen.setdefault("/".join(path[:i]))
+        return False  # record order only; capture no values
+
+    jax.eval_shape(
+        lambda p, *a: module.apply(p, *a, capture_intermediates=record),
+        flax_params, *example_args)
+    return list(seen)
 
 
 def convert_bn_folded(torch_state: Dict[str, np.ndarray], module,
@@ -166,20 +200,9 @@ def convert_bn_folded(torch_state: Dict[str, np.ndarray], module,
     ``module``/``example_args`` drive one apply pass to recover call order
     (example_args can be tiny — only shapes' divisibility matters).
     """
-    import jax
-
     tokens = _torch_tokens(torch_state, eps)
     call_order = _module_call_order(module, flax_params, *example_args)
-
-    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
-    by_module: Dict[str, dict] = {}
-    for path, leaf in flat:
-        keys = [str(getattr(p, "key", p)) for p in path]
-        if keys[-1] not in ("kernel", "bias", "scale") or np.ndim(leaf) < 1:
-            continue
-        # drop the leading "params" collection key
-        mod = "/".join(k for k in keys[:-1] if k != "params")
-        by_module.setdefault(mod, {})[keys[-1]] = leaf
+    by_module = _group_by_module(flax_params, ("kernel", "bias", "scale"))
     typed_slots = []
     for mod in call_order:
         d = by_module.get(mod)
@@ -214,14 +237,7 @@ def convert_bn_folded(torch_state: Dict[str, np.ndarray], module,
             replacements[mod + "/scale"] = scale
             replacements[mod + "/bias"] = shift
 
-    def rebuild(path, leaf):
-        keys = "/".join(str(getattr(p, "key", p)) for p in path
-                        if str(getattr(p, "key", p)) != "params")
-        if keys in replacements:
-            return np.asarray(replacements[keys], dtype=np.float32)
-        return leaf
-
-    return jax.tree_util.tree_map_with_path(rebuild, flax_params)
+    return _rebuild_with(flax_params, replacements)
 
 
 def convert_vggish(torch_state: Dict[str, np.ndarray], flax_params):
@@ -244,43 +260,13 @@ def _assign_convs_in_call_order(module, flax_params, example_args,
     before arbTimeFlowIntrp). Call order matches torch registration order
     for these nets, so pair on that, asserting shapes per slot.
     """
-    import jax
-
     call_order = _module_call_order(module, flax_params, *example_args)
-    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
-    by_module: Dict[str, dict] = {}
-    for path, leaf in flat:
-        keys = [str(getattr(p, "key", p)) for p in path]
-        if keys[-1] not in ("kernel", "bias") or np.ndim(leaf) < 1:
-            continue
-        mod = "/".join(k for k in keys[:-1] if k != "params")
-        by_module.setdefault(mod, {})[keys[-1]] = leaf
+    by_module = _group_by_module(flax_params, ("kernel", "bias"))
     conv_slots = [(m, by_module[m]) for m in call_order
                   if by_module.get(m, {}).get("kernel") is not None
                   and np.ndim(by_module[m]["kernel"]) >= 3]
-    if len(conv_slots) != len(conv_pairs):
-        raise ValueError(
-            f"conv count mismatch: flax has {len(conv_slots)}, torch ckpt "
-            f"has {len(conv_pairs)}")
-
-    replacements = {}
-    for (mod, d), (w, b) in zip(conv_slots, conv_pairs):
-        if tuple(d["kernel"].shape) != tuple(w.shape):
-            raise ValueError(
-                f"shape mismatch at {mod}: flax {d['kernel'].shape} vs "
-                f"torch {w.shape}")
-        replacements[mod + "/kernel"] = w
-        if b is not None and "bias" in d:
-            replacements[mod + "/bias"] = b
-
-    def rebuild(path, leaf):
-        keys = "/".join(str(getattr(p, "key", p)) for p in path
-                        if str(getattr(p, "key", p)) != "params")
-        if keys in replacements:
-            return np.asarray(replacements[keys], dtype=np.float32)
-        return leaf
-
-    return jax.tree_util.tree_map_with_path(rebuild, flax_params)
+    return _rebuild_with(flax_params,
+                         _replace_convs(conv_slots, conv_pairs))
 
 
 def convert_slomo(torch_state: Dict[str, np.ndarray], module, flax_params,

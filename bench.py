@@ -113,7 +113,10 @@ def _acquire_backend(budget_s: float = None, *, _devices_fn=None,
         # capturable degraded number is forfeited exactly like BENCH_r03.
         # Each timeout is also capped at the remaining budget so a wedged
         # pool cannot overrun budget_s by a whole 450 s probe (the budget
-        # check runs between probes, not inside them).
+        # check runs between probes, not inside them; the 10 s floor
+        # below means the LAST probe may still overshoot the budget by
+        # up to 10 s — bounded, and a probe shorter than that cannot
+        # distinguish alive from wedged anyway).
         _state = {"attempt": 0}
 
         def probe_fn():
@@ -456,14 +459,19 @@ def _arm_watchdog() -> None:
 def _rearm_watchdog() -> None:
     """Restart the deadline clock with the full deadline remaining.
 
-    Backend acquisition can legitimately consume ~17 min through the
-    escalating probes (150+60+300+60+450 s); counted against a fixed
-    1800 s deadline, that leaves too little for the degraded-but-alive
-    measurement the escalation exists to capture. main() re-arms after
-    acquisition so the deadline budgets the MEASUREMENT, while a hang
-    during acquisition is still bounded by the original arm (acquisition
-    is itself hang-safe: child probes time out and the budget raises).
-    No-op when the watchdog is off.
+    Backend acquisition can legitimately consume most of the init budget
+    (default 900 s — the escalating probes are capped at whatever budget
+    remains); counted against a fixed 1800 s deadline, that leaves too
+    little for the degraded-but-alive measurement the escalation exists
+    to capture. main() re-arms after acquisition so the deadline budgets
+    the MEASUREMENT, while a hang during acquisition is still bounded by
+    the original arm (acquisition is itself hang-safe: child probes time
+    out and the budget raises). Consequence for callers: the process can
+    legitimately live for init-budget + deadline (~2700 s at defaults) —
+    any EXTERNAL timeout wrapped around bench.py must exceed that, or it
+    will kill the run the re-arm exists to save (a SIGTERM still records
+    an error line via the handler in __main__, but the measurement is
+    forfeited). No-op when the watchdog is off.
     """
     t = _WATCHDOG.get("timer")
     if t is None:
@@ -472,8 +480,35 @@ def _rearm_watchdog() -> None:
     _WATCHDOG["timer"] = _start_watchdog_timer(_WATCHDOG["deadline"])
 
 
+def _install_sigterm_line() -> None:
+    """Record an attributable error line even when killed from OUTSIDE.
+
+    Runbooks and drivers wrap bench.py in ``timeout N``; if N is shorter
+    than init-budget + re-armed deadline (see _rearm_watchdog), the
+    external SIGTERM would otherwise end the process with NOTHING on
+    stdout — the exact silent-death mode the in-process watchdog was
+    built to prevent. The handler prints the error JSON and exits hard
+    (os._exit: the main thread may be blocked inside a device fetch that
+    never returns).
+    """
+    import os
+    import signal
+
+    def fire(signum, frame):
+        print(json.dumps({"metric": "e2e_embed_score_synthesize_1min30fps_s",
+                          "value": -1, "unit": "s", "vs_baseline": 0,
+                          "error": "SIGTERM: killed externally (timeout "
+                                   "wrapper shorter than init budget + "
+                                   "watchdog deadline?)"}),
+              flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGTERM, fire)
+
+
 if __name__ == "__main__":
     _arm_watchdog()
+    _install_sigterm_line()
     try:
         main()
     except Exception as e:  # noqa: BLE001 - bench must always emit a line
