@@ -63,7 +63,6 @@ def sharded_embed_segments(model, params, mesh: Mesh,
     Pads L to a multiple of the data-axis size; returns the unpadded
     [L, D] table (replicated).
     """
-    slowfast = model.arch == "slowfast"
     n_data = mesh.shape["data"]
     L = len(windows_u8)
     pad = (-L) % n_data
@@ -75,13 +74,29 @@ def sharded_embed_segments(model, params, mesh: Mesh,
         ids = np.minimum(np.arange(L + pad), len(audio_examples) - 1)
         audio = np.asarray(audio_examples)[ids]
 
+    params = jax.device_put(params, param_shardings(params, mesh))
+    run = _embed_segments_fn(model, mesh, img_size, tower,
+                             audio is not None)
+    table = run(params, jnp.asarray(windows_u8),
+                None if audio is None else jnp.asarray(audio))
+    return table[:L]
+
+
+@functools.lru_cache(maxsize=32)
+def _embed_segments_fn(model, mesh, img_size, tower, with_audio):
+    """Jitted sharded embed over pre-gathered windows, cached per
+    (model, mesh, geometry) — fresh closures re-trace the full encoder
+    per call (CLAUDE.md cached-closure rule). Params arrive COMMITTED
+    (device_put with param_shardings at the call site), so the jit
+    infers their shardings instead of pinning a params-tree-shaped
+    in_shardings that would defeat the cache."""
+    slowfast = model.arch == "slowfast"
     seg_sharding = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
 
     @functools.partial(jax.jit,
-                       in_shardings=(param_shardings(params, mesh),
-                                     seg_sharding,
-                                     None if audio is None else seg_sharding),
+                       in_shardings=(None, seg_sharding,
+                                     seg_sharding if with_audio else None),
                        out_shardings=rep)
     def run(p, frames, aud):
         x = preprocess_clip(frames, size=img_size, slowfast=slowfast)
@@ -89,9 +104,7 @@ def sharded_embed_segments(model, params, mesh: Mesh,
             x = slowfast_pathways(x)
         return model.apply(p, x, aud, tower=tower, method=model.embed)
 
-    table = run(params, jnp.asarray(windows_u8),
-                None if audio is None else jnp.asarray(audio))
-    return table[:L]
+    return run
 
 
 def sharded_embed_from_video(model, params, mesh: Mesh, video_u8,
@@ -106,7 +119,6 @@ def sharded_embed_from_video(model, params, mesh: Mesh, video_u8,
     all-gathers the [L, D] table. This is the bandwidth-optimal multi-chip
     analogue of embeddings.embed_segments_from_video.
     """
-    slowfast = model.arch == "slowfast"
     n_data = mesh.shape["data"]
     L = num_segments
     pad = (-L) % n_data
@@ -118,13 +130,25 @@ def sharded_embed_from_video(model, params, mesh: Mesh, video_u8,
         ids = np.minimum(np.arange(L + pad), len(audio_examples) - 1)
         audio = np.asarray(audio_examples)[ids]
 
+    params = jax.device_put(params, param_shardings(params, mesh))
+    run = _embed_from_video_fn(model, mesh, img_size, tower, window,
+                               with_audio)
+    table = run(params, jnp.asarray(video_u8), jnp.asarray(starts),
+                None if not with_audio else jnp.asarray(audio))
+    return table[:L]
+
+
+@functools.lru_cache(maxsize=32)
+def _embed_from_video_fn(model, mesh, img_size, tower, window, with_audio):
+    """Jitted sharded embed with on-device window gather, cached per
+    (model, mesh, geometry) — see _embed_segments_fn for the contract."""
+    slowfast = model.arch == "slowfast"
     seg = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
 
     @functools.partial(
         jax.jit,
-        in_shardings=(param_shardings(params, mesh), rep, seg,
-                      None if not with_audio else seg),
+        in_shardings=(None, rep, seg, seg if with_audio else None),
         out_shardings=rep)
     def run(p, video, st, aud):
         idx = st[:, None] + jnp.arange(window)[None, :]
@@ -134,22 +158,25 @@ def sharded_embed_from_video(model, params, mesh: Mesh, video_u8,
             x = slowfast_pathways(x)
         return model.apply(p, x, aud, tower=tower, method=model.embed)
 
-    table = run(params, jnp.asarray(video_u8), jnp.asarray(starts),
-                None if not with_audio else jnp.asarray(audio))
-    return table[:L]
+    return run
 
 
 def make_sharded_train_step(model, tx, mesh: Mesh, size: int,
                             slowfast: bool) -> Callable:
     """DP+TP version of train.loop.make_train_step: batch sharded over
-    'data', params sharded by param_shardings, grads reduced by XLA."""
+    'data', grads reduced by XLA. The returned step PLACES state.params
+    with param_shardings each call (a no-op once committed), so the
+    documented TP split happens without the caller pre-placing params —
+    previously the rules were silently skipped for anyone who didn't."""
     from avtex.train.loop import make_train_step
 
     base_step = make_train_step(model, tx, size, slowfast)
     batch_sharding = NamedSharding(mesh, P("data"))
-    rep = NamedSharding(mesh, P())
 
     def place(state, batch, rng):
+        state = state.replace(
+            params=jax.device_put(state.params,
+                                  param_shardings(state.params, mesh)))
         batch = {k: jax.device_put(jnp.asarray(v), batch_sharding)
                  for k, v in batch.items()}
         return base_step(state, batch, rng)

@@ -256,9 +256,18 @@ def vggish_audio_features(vggish_module, vggish_params,
     """
     from avtex.utils.batching import batched_apply
 
+    run = _vggish_fn(vggish_module)
+    return batched_apply(lambda x: run(vggish_params, x), np.asarray(examples),
+                         batch_size=batch_size)
+
+
+@functools.lru_cache(maxsize=8)
+def _vggish_fn(vggish_module):
+    """Jitted VGGish apply, cached per module (fresh closures re-trace
+    per call — CLAUDE.md cached-closure rule; this runs per driving-audio
+    request in a warm TextureServer)."""
     @jax.jit
     def run(p, x):
         return vggish_module.apply(p, x)
 
-    return batched_apply(lambda x: run(vggish_params, x), np.asarray(examples),
-                         batch_size=batch_size)
+    return run

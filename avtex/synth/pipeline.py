@@ -48,10 +48,16 @@ def synthesize(cfg: Config, video_path: str, params,
     timings: Dict[str, float] = {}
 
     with Timer() as t:
-        video, fps = read_video(video_path, cfg.subsample_rate)
+        video_full, fps = read_video(video_path)
     timings["decode_s"] = t.elapsed
     cfg = cfg.derive_geometry(fps)
     W, S = cfg.window, cfg.stride
+    # Subsampled view for ENCODING; stitching expands each walked id back
+    # to `sub` consecutive original-rate frames (reference: validate.py:
+    # 111-113 encodes input_frames = video[::sub], :621-630 emits the
+    # expanded originals and counts THEM toward max_length).
+    sub = max(1, int(cfg.subsample_rate))
+    video = video_full[::sub]
     from avtex.contrastive.segments import require_segments
     L = require_segments(len(video), W, S, "val",
                          what=os.path.basename(video_path))
@@ -61,13 +67,21 @@ def synthesize(cfg: Config, video_path: str, params,
     audio_examples = None
     if audio_path is not None and os.path.exists(audio_path):
         audio, sr = read_wav(audio_path)
-        audio_examples = np.asarray(waveform_to_examples(audio, sr))
+        # Examples on the SUBSAMPLED timeline (rate scaled by sub) with the
+        # waveform clipped to the encoded frames' span — reference
+        # validate.py:155-159.
+        apf = int(np.floor(sr * sub / fps))
+        audio = audio[: len(video) * apf]
+        audio_examples = np.asarray(waveform_to_examples(audio, sr * sub))
 
     driving = None
     driving_examples = None
     if driving_audio_path is not None:
         driving, d_sr = read_wav(driving_audio_path)
-        driving_examples = np.asarray(waveform_to_examples(driving, d_sr))
+        # Scaled like the source examples (reference: validate.py:173-175);
+        # the muxed output track stays the raw waveform at d_sr.
+        driving_examples = np.asarray(
+            waveform_to_examples(driving, d_sr * sub))
 
     model = ContrastiveTextures(arch=cfg.enc_arch, model_type=cfg.model_type,
                                 temp=cfg.temp, norm=cfg.norm)
@@ -92,11 +106,18 @@ def synthesize(cfg: Config, video_path: str, params,
     timings["embed_s"] = t.elapsed
 
     # ---- synthesis length + steps -------------------------------------- #
+    # max_length counts ORIGINAL-rate frames; each walk step emits S
+    # subsampled ids = S*sub originals, so the step count divides by sub
+    # (reference: `while len(new_frames) < max_length`, validate.py:324,
+    # with new_frames extended by the expanded ids).
     max_length = int(cfg.new_video_length * fps)
     if driving is not None:
-        # clip to driving-audio length (reference: validate.py:257-263)
-        max_length = min(max_length, int(len(driving_examples) / 10 * fps))
-    steps = num_synthesis_steps(max_length, W, S)
+        # clip to driving-audio length (reference: validate.py:257-263);
+        # driving examples live on the subsampled timeline, so the real
+        # seconds they cover scale back up by sub.
+        max_length = min(max_length,
+                         int(len(driving_examples) / 10 * fps) * sub)
+    steps = num_synthesis_steps(-(-max_length // sub), W, S)
 
     # ---- driving-audio rows -------------------------------------------- #
     audio_logits = None
@@ -133,12 +154,12 @@ def synthesize(cfg: Config, video_path: str, params,
         # always loads it, validate.py:183-185); crossfade otherwise.
         from avtex.utils.convert import maybe_make_slomo_interp_fn
         with Timer() as t:
-            interp_fn = maybe_make_slomo_interp_fn(size=video.shape[1:3])
+            interp_fn = maybe_make_slomo_interp_fn(size=video_full.shape[1:3])
         timings["interp_load_s"] = t.elapsed
     with Timer() as t:
         stitched = stitch_texture(
-            video, result.indices, W, S, sf=cfg.SF,
-            subsample_rate=1,  # video already subsampled at decode
+            video_full, result.indices, W, S, sf=cfg.SF,
+            subsample_rate=sub,
             interpolate=cfg.interpolation, interp_fn=interp_fn,
             frames_bar=cfg.frames_bar,
             source_audio=audio if driving is None else None,
@@ -201,7 +222,7 @@ def synthesize(cfg: Config, video_path: str, params,
             base + "_report.html",
             {k: os.path.basename(v) for k, v in paths.items()
              if str(v).endswith((".mp4", ".avi"))},
-            {"jumps": int(result.jumps.sum()),
+            {"jumps": int(stitched["jump_count"]),
              "steps": len(result.indices),
              "segments": L,
              "seed_segment": result.seed_id})
@@ -211,7 +232,9 @@ def synthesize(cfg: Config, video_path: str, params,
             logger.log_scalar(float(e), "synth/entropy", i)
             logger.log_scalar(int(result.nonzero_counts[i]),
                               "synth/nonzero", i)
-        logger.log_scalar(int(result.jumps.sum()), "synth/jump_count", 0)
+        # the reference counts jumps only past the first step
+        # (validate.py:586: p_q_id != -1), exactly walk_frame_ids' count
+        logger.log_scalar(int(stitched["jump_count"]), "synth/jump_count", 0)
         if cfg.visualize_evaluate:
             # query/choice frame strips at jumps (reference: validate.py:649-671)
             prev = result.seed_id
@@ -283,19 +306,20 @@ def init_params_for_synthesis(cfg: Config, model, video, window: int):
     return params
 
 
-def driving_audio_rows(cfg: Config, video, audio_examples, driving_examples,
-                       steps: int, L: int, W: int, S: int):
-    """Per-step driving-audio logit rows + optional audio-derived seed.
+def make_audio_scorer(cfg: Config, video, audio_examples, L: int, W: int,
+                      S: int):
+    """Build the REUSABLE driving-audio scoring state for ``cfg.da_feats``.
 
     The three ``-daf`` modes of the reference (validate.py:260-296,
     models.py:420-462): "Contrastive" (VideoForAudio retrieval head),
     "VGG" (pretrained VGGish features — the reference default), "Mel"
-    (raw flattened log-mel examples).
-
-    Returns (audio_logits [steps, L] or None, seed_id or None).
+    (raw flattened log-mel examples). Everything that depends only on the
+    SOURCE (model init, checkpoint load, source audio features, the
+    Contrastive mode's per-segment video table) is computed here once;
+    the returned callable ``(driving_examples, steps) -> (audio_logits
+    [steps, L], seed_id or None)`` does only per-request work — what a
+    warm TextureServer needs to stay warm across driving-audio requests.
     """
-    audio_logits = None
-    seed_id = None
     if cfg.da_feats == "Contrastive":
         # audio->video retrieval head (reference: validate.py:268-296)
         from avtex.contrastive.audio_retrieval import (VideoForAudio,
@@ -328,40 +352,23 @@ def driving_audio_rows(cfg: Config, video, audio_examples, driving_examples,
             emb = embed_v(vfa_params, jnp.asarray(chunk))
             tables.append(emb[:bsz - pad] if pad else emb)
         v_table = jnp.concatenate(tables)
-        steps_ids = np.minimum(np.arange(steps), len(driving_examples) - 1)
-        audio_logits = video_for_audio_logits(
-            vfa, vfa_params, driving_examples[steps_ids], v_table, cfg.temp)
-        if audio_examples is not None:
-            seed_id = seed_segment(jnp.asarray(audio_examples),
-                                   jnp.asarray(driving_examples[0]),
-                                   num_segments=L)
-    elif audio_examples is not None:
-        if cfg.da_feats == "Mel":
-            src = jnp.asarray(audio_examples.reshape(len(audio_examples), -1))
-            drv = jnp.asarray(
-                driving_examples.reshape(len(driving_examples), -1))
-        else:  # "VGG" (default): raw VGGish conv features
-            from avtex.nn.vggish import VGGish
-            from avtex.utils.convert import maybe_load_vggish
-            vg = VGGish()
-            vparams = jax.jit(vg.init)(
-                jax.random.key(0), jnp.zeros((1,) + audio_examples.shape[1:]))
-            # reference always scores with pretrained VGGish (main.py:338);
-            # warns loudly if no checkpoint is available.
-            vparams, _ = maybe_load_vggish(vparams,
-                                           context="-daf VGG scoring")
-            src = vggish_audio_features(vg, vparams, audio_examples)
-            drv = vggish_audio_features(vg, vparams, driving_examples)
-        # one row per step; segment ids past the end clip to the last row
-        ids = np.minimum(np.arange(steps), len(driving_examples) - 1)
-        # source rows must align to segment ids (clip like validate.py:345)
-        seg_ids = np.minimum(np.arange(L), len(audio_examples) - 1)
-        audio_logits = driving_audio_logits(src[jnp.asarray(seg_ids)],
-                                            drv[jnp.asarray(ids)], cfg.temp)
-        seed_id = seed_segment(jnp.asarray(audio_examples),
-                               jnp.asarray(driving_examples[0]),
-                               num_segments=L)
-    else:
+
+        def score(driving_examples, steps: int):
+            steps_ids = np.minimum(np.arange(steps),
+                                   len(driving_examples) - 1)
+            audio_logits = video_for_audio_logits(
+                vfa, vfa_params, driving_examples[steps_ids], v_table,
+                cfg.temp)
+            seed_id = None
+            if audio_examples is not None:
+                seed_id = seed_segment(jnp.asarray(audio_examples),
+                                       jnp.asarray(driving_examples[0]),
+                                       num_segments=L)
+            return audio_logits, seed_id
+
+        return score
+
+    if audio_examples is None:
         # -daf VGG/Mel score driving audio against the SOURCE video's audio
         # track; without it alpha-blending would be silently skipped. The
         # reference fails outright here (validate.py:150-162 loads the
@@ -371,4 +378,50 @@ def driving_audio_rows(cfg: Config, video, audio_examples, driving_examples,
             "video has no audio track (-adata): VGG/Mel modes score "
             "driving audio against source audio. Provide the source wav "
             "or use -daf Contrastive.")
-    return audio_logits, seed_id
+
+    if cfg.da_feats == "Mel":
+        src = jnp.asarray(audio_examples.reshape(len(audio_examples), -1))
+
+        def featurize(examples):
+            return jnp.asarray(examples.reshape(len(examples), -1))
+    else:  # "VGG" (default): raw VGGish conv features
+        from avtex.nn.vggish import VGGish
+        from avtex.utils.convert import maybe_load_vggish
+        vg = VGGish()
+        vparams = jax.jit(vg.init)(
+            jax.random.key(0), jnp.zeros((1,) + audio_examples.shape[1:]))
+        # reference always scores with pretrained VGGish (main.py:338);
+        # warns loudly if no checkpoint is available.
+        vparams, _ = maybe_load_vggish(vparams, context="-daf VGG scoring")
+        src = vggish_audio_features(vg, vparams, audio_examples)
+
+        def featurize(examples):
+            return vggish_audio_features(vg, vparams, examples)
+
+    # source rows must align to segment ids (clip like validate.py:345)
+    seg_ids = np.minimum(np.arange(L), len(audio_examples) - 1)
+    src_rows = src[jnp.asarray(seg_ids)]
+
+    def score(driving_examples, steps: int):
+        drv = featurize(driving_examples)
+        # one row per step; segment ids past the end clip to the last row
+        ids = np.minimum(np.arange(steps), len(driving_examples) - 1)
+        audio_logits = driving_audio_logits(src_rows, drv[jnp.asarray(ids)],
+                                            cfg.temp)
+        seed_id = seed_segment(jnp.asarray(audio_examples),
+                               jnp.asarray(driving_examples[0]),
+                               num_segments=L)
+        return audio_logits, seed_id
+
+    return score
+
+
+def driving_audio_rows(cfg: Config, video, audio_examples, driving_examples,
+                       steps: int, L: int, W: int, S: int):
+    """One-shot wrapper over make_audio_scorer (the batch pipeline builds
+    the scoring state and uses it once; a TextureServer keeps the scorer).
+
+    Returns (audio_logits [steps, L] or None, seed_id or None).
+    """
+    return make_audio_scorer(cfg, video, audio_examples, L, W, S)(
+        driving_examples, steps)

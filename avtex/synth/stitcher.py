@@ -97,26 +97,33 @@ def stitch_texture(video: np.ndarray, indices: Sequence[int], window: int,
             at_jump = k in jumps and k > 0
             if at_jump:
                 # replace held copies of the previous frame with SF-1
-                # net/crossfade intermediates (reference: validate.py:587-613)
+                # net/crossfade intermediates (reference: validate.py:587-613).
+                # frame0 is the LAST expanded original of the previous id
+                # (the reference's prev diff_ids[-1], already expanded at
+                # validate.py:621-624); frame1 the first original of the
+                # jumped-to id.
                 if hold:
                     del seq[-hold:]
-                prev_frame = video[frame_ids[(k - 1) * subsample_rate
-                                             if subsample_rate > 1 else k - 1]]
+                prev_frame = video[frame_ids[k * subsample_rate - 1]]
                 next_frame = video[int(fid) * subsample_rate]
                 seq.extend(interp_fn(prev_frame, next_frame, sf - 1))
-            for s, orig in enumerate(
-                    expand_subsample(np.asarray([fid]), subsample_rate)):
-                f = frames[k * subsample_rate + s] if subsample_rate > 1 \
-                    else frames[k]
+            for s in range(subsample_rate):
+                f = frames[k * subsample_rate + s]
                 seq.append(f)
+                # every emitted original gets `hold` copies except the very
+                # first frame after a jump (reference: validate.py:645-647)
                 if not (at_jump and s == 0):
                     seq.extend([f] * hold)
         frames_intp = np.stack(seq) if seq else None
 
     audio = None
     if source_audio is not None:
-        apf = int(audio_sample_rate / fps)  # samples per frame
-        chunks = [source_audio[i * apf:(i + 1) * apf] for i in frame_ids]
+        # samples per WALKED (subsampled) id — the reference's apf is
+        # floor(sr*subsample_rate/fps) indexed by subsampled diff_ids
+        # (validate.py:155,640-647); identical to per-original slicing at
+        # subsample_rate=1.
+        apf = int(audio_sample_rate * subsample_rate / fps)
+        chunks = [source_audio[i * apf:(i + 1) * apf] for i in frame_ids_sub]
         audio = np.concatenate(chunks) if chunks else None
 
     return {

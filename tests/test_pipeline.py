@@ -59,6 +59,37 @@ def test_synthesize_with_driving_audio(tiny_clip, tmp_path):
     assert "audio_rows_s" in out["timings"]
 
 
+def test_synthesize_subsample_rate(tiny_clip, tmp_path):
+    """-subsample 2: encode every 2nd frame, but the texture must play at
+    the ORIGINAL rate — each walked id expands to 2 consecutive original
+    frames and max_length counts originals (reference: validate.py:111-113,
+    324, 621-630). Regression: the pipeline used to drop the non-kept
+    frames at decode and run ~2x the steps, emitting a 2x-fast texture."""
+    from avtex.synth.pipeline import synthesize
+    cfg = Config(enc_arch="resnet10", model_type=1, img_size=32,
+                 new_video_length=2, threshold=0.5, interpolation=False,
+                 mini_batchsize=8, seed=0, subsample_rate=2)
+    out = synthesize(cfg, tiny_clip["video"], params=None,
+                     audio_path=tiny_clip["audio"],
+                     out_dir=str(tmp_path))
+    # 60 frames @8fps -> 30 encoded, W=4/S=2 -> (30-4)//2 = 13 segments
+    # (the reference's val-split count, dataset/dataset.py:114-119)
+    assert out["num_segments"] == 13
+    fps = out["fps"]
+    max_length = int(2 * fps)  # original-rate frames
+    frames = out["stitched"]["frames"]
+    assert len(frames) >= max_length  # NOT max_length/2 (the old bug)
+    # emitted ids are original-rate consecutive pairs (2k, 2k+1)
+    ids = out["stitched"]["frame_ids"]
+    assert ids.max() < 60
+    np.testing.assert_array_equal(ids[1::2], ids[::2] + 1)
+    assert ids[::2].max() % 2 == 0
+    # audio follows the walked ids at apf = sr*sub/fps
+    assert out["stitched"]["audio"] is not None
+    apf = int(16000 * 2 / fps)
+    assert len(out["stitched"]["audio"]) == (len(ids) // 2) * apf
+
+
 def test_eval_without_checkpoint_fails_loudly(tiny_clip, tmp_path):
     """-e with no checkpoint at the flag-derived path must fail like the
     reference's assert (main.py:536) — synthesizing on random weights is

@@ -37,6 +37,17 @@ def test_texture_server_multiple_requests(tmp_path):
     # distinct seeds explore different walks
     assert not np.array_equal(a["result"].indices, b["result"].indices)
 
+    # every response names its audio's sample rate (the mux contract)
+    assert a["sample_rate"] == sr
+
+    # per-request interpolation honors the knob (cfg default is
+    # interpolation=True; this cfg left it True)
+    d = server.synthesize(seconds=2, seed=1, interpolate=True)
+    assert d["frames_intp"] is not None
+    assert len(d["frames_intp"]) > len(d["frames"])
+    e = server.synthesize(seconds=2, seed=1, interpolate=False)
+    assert e["frames_intp"] is None
+
     # driving-audio request on the same resident tables (Mel mode: no
     # pretrained VGGish in the test env)
     server.cfg = server.cfg.__class__(**{**server.cfg.__dict__,
@@ -44,3 +55,13 @@ def test_texture_server_multiple_requests(tmp_path):
     c = server.synthesize(seconds=2, driving_audio=ap, alpha=0.5, seed=3)
     assert len(c["result"].indices) >= 1
     assert c["audio"] is not None
+    # driving audio returns at ITS OWN rate (here the same wav/rate, but
+    # the field must come from the driving file, not the source)
+    assert c["sample_rate"] == sr
+    # the scoring state (models, source features, tables) is built once
+    # and reused across driving requests — warm serving stays warm
+    scorer1 = server._audio_scorer
+    assert scorer1 is not None
+    c2 = server.synthesize(seconds=2, driving_audio=ap, alpha=0.5, seed=4)
+    assert server._audio_scorer is scorer1
+    assert len(c2["result"].indices) >= 1

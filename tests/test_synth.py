@@ -154,6 +154,43 @@ def test_stitch_texture_jump_interp(rng):
     assert len(out["frames_intp"]) == 24
 
 
+def test_stitch_texture_subsample_expands_to_original_rate():
+    """subsample_rate=2: the walk lives in subsampled ids but the texture
+    emits the ORIGINAL frames — each walked id expands to 2 consecutive
+    originals (reference: validate.py:621-630); audio follows the walked
+    ids at apf = sr*sub/fps; the jump interpolates from the LAST original
+    of the previous id (the reference's prev diff_ids[-1])."""
+    video = np.arange(40, dtype=np.uint8)[:, None, None, None].repeat(
+        4, 1).repeat(4, 2).repeat(3, 3)
+    calls = []
+
+    def fake_interp(a, b, n):
+        calls.append((int(a[0, 0, 0]), int(b[0, 0, 0])))
+        return [((a.astype(np.int32) + b) // 2).astype(np.uint8)] * n
+
+    out = stitch_texture(
+        video, [0, 1, 5], window=4, stride=2, sf=3, subsample_rate=2,
+        interpolate=True, interp_fn=fake_interp,
+        source_audio=np.arange(800, dtype=np.float32),
+        audio_sample_rate=80, fps=8.0)
+    # walked subsampled ids: [0,1,2,3] + [4,5] + jump [12,13]
+    # -> originals [0..8) + [8..12) + [24..28)
+    np.testing.assert_array_equal(
+        out["frame_ids"], list(range(12)) + list(range(24, 28)))
+    assert len(out["frames"]) == 16
+    # frames come from the ORIGINAL video at the expanded ids
+    assert int(out["frames"][9][0, 0, 0]) == 9
+    assert int(out["frames"][12][0, 0, 0]) == 24
+    # interp bridged original 11 (last of walked id 5) -> original 24
+    assert calls == [(11, 24)]
+    assert out["jump_count"] == 1
+    # audio: apf = 80*2/8 = 20 samples per WALKED id, 8 walked ids
+    assert len(out["audio"]) == 8 * 20
+    # intp: 12 pre-jump originals x(1+hold) - hold removed at the jump
+    # + (sf-1)=2 interp + first-after-jump bare + 3 more x(1+hold)
+    assert len(out["frames_intp"]) == 12 * 2 - 1 + 2 + 1 + 3 * 2
+
+
 @pytest.mark.slow
 def test_slomo_interp_shapes():
     from avtex.synth.interp import init_slomo, make_interp_fn
