@@ -78,11 +78,17 @@ def run_classic(cfg: ClassicConfig, video_path: str,
 
         n = p3_new.shape[0]
         start = min(cfg.start_frame, n - 1)
+        # mode 2 transitions from min(chosen + stride, n-1) and clips its
+        # emitted blocks to the MATRIX size, not the frame count
+        # (reference: video_textures.py:148-169).
+        adv = cfg.stride if cfg.model_type == 2 else 0
         walk, jumps = sample_texture_walk(
-            p3_new, start, num_steps, jax.random.key(cfg.seed + i))
+            p3_new, start, num_steps, jax.random.key(cfg.seed + i),
+            advance=adv)
         walk = np.asarray(walk)
+        clip_n = n if cfg.model_type == 2 else len(frames)
         frame_ids = expand_walk_to_frames(
-            walk, cfg.model_type, cfg.stride, cfg.filter_size, len(frames))
+            walk, cfg.model_type, cfg.stride, cfg.filter_size, clip_n)
         frame_ids = np.clip(frame_ids, 0, len(frames) - 1)
 
         # main track: red position bar burned into every frame, always

@@ -13,6 +13,7 @@ is the Gram-form kernel in avtex/classic/d1.py (no O(N^2 F) repeats).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -31,22 +32,53 @@ def rgb_features(frames: np.ndarray) -> Tuple[jnp.ndarray, bool]:
 def resnet_features(frames: np.ndarray, module=None, params=None,
                     img_size: int = 112, batch_size: int = 64
                     ) -> Tuple[jnp.ndarray, bool]:
-    """Per-frame ResNet-18 penultimate features (normalize_rows=True)."""
+    """Per-frame ResNet-18 penultimate features (normalize_rows=True).
+
+    The reference uses torchvision's IMAGENET-PRETRAINED resnet18
+    (computeD1.py:99); a pretrained checkpoint is loaded when one can be
+    found ($AVTEX_ENCODER_CKPT or pretrained/resnet18-imagenet.pth,
+    BN-folded into the affine variant), else this warns LOUDLY and runs
+    random weights — distances from random features are structurally
+    valid but semantically meaningless.
+    """
     from avtex.nn.resnet2d import resnet2d18
     if module is None:
-        module = resnet2d18()
-        params = jax.jit(module.init)(jax.random.key(0),
-                             jnp.zeros((1, img_size, img_size, 3)))
+        import sys
+
+        from avtex.utils.convert import maybe_load_encoder
+        x0 = jnp.zeros((1, img_size, img_size, 3))
+        module = resnet2d18(norm="affine")
+        params = jax.jit(module.init)(jax.random.key(0), x0)
+        params, loaded = maybe_load_encoder(
+            "resnet18_2d", module, params, x0,
+            context="classic ResNet features")
+        if not loaded:
+            print("[avtex] WARNING: no pretrained resnet18 checkpoint "
+                  "found (classic ResNet features); the reference uses "
+                  "torchvision resnet18(pretrained=True) — random "
+                  "features make the distance matrix meaningless. Set "
+                  "$AVTEX_ENCODER_CKPT or place "
+                  "pretrained/resnet18-imagenet.pth.", file=sys.stderr)
+            module = resnet2d18()
+            params = jax.jit(module.init)(jax.random.key(0), x0)
 
     from avtex.utils.batching import batched_apply
 
-    @jax.jit
-    def run(p, x):
-        x = preprocess_clip(x[:, None], size=img_size)[:, 0]
-        return module.apply(p, x)
-
+    run = _frame_features_fn(module, img_size)
     return batched_apply(lambda x: run(params, x), np.asarray(frames),
                          batch_size=batch_size), True
+
+
+@functools.lru_cache(maxsize=8)
+def _frame_features_fn(module, img_size: int):
+    """Jitted per-frame feature apply, cached per (module, size)
+    (CLAUDE.md cached-closure rule)."""
+    @jax.jit
+    def run(p, x):
+        xx = preprocess_clip(x[:, None], size=img_size)[:, 0]
+        return module.apply(p, xx)
+
+    return run
 
 
 def resnet_vggish_features(frames: np.ndarray,
@@ -64,9 +96,14 @@ def resnet_vggish_features(frames: np.ndarray,
         return vfeats, True
     from avtex.nn.vggish import VGGish
     from avtex.synth.embeddings import vggish_audio_features
+    from avtex.utils.convert import maybe_load_vggish
     m = VGGish()
     params = jax.jit(m.init)(jax.random.key(0),
                     jnp.zeros((1,) + np.asarray(audio_examples).shape[1:]))
+    # the reference scores with PRETRAINED VGGish (computeD1.py:152-238);
+    # warns loudly when the checkpoint is absent
+    params, _ = maybe_load_vggish(params,
+                                  context="classic ResNet_VGGish features")
     afeats = vggish_audio_features(m, params, audio_examples)
     ids = np.minimum(np.arange(len(frames)) // stride, len(afeats) - 1)
     afeats_per_frame = afeats[ids]

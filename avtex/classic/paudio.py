@@ -2,7 +2,10 @@
 
 Parity with reference baselines/classic_video_textures/computePaudio.py:6-18:
 cosine similarity of one driving-audio embedding against every source
-segment's audio embedding, shifted into [0, 1] and normalized to sum 1.
+segment's audio embedding, normalized by the RAW sum (+1e-6) — the
+reference applies no shift, so the "distribution" can carry negative
+entries and need not sum to exactly 1 when cosines are negative; that
+is its contract and callers weight rows with it as-is.
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ import jax.numpy as jnp
 @jax.jit
 def compute_paudio(driving_emb: jnp.ndarray,
                    segment_embs: jnp.ndarray) -> jnp.ndarray:
-    """[N] distribution over source segments.
+    """[N] per-segment weights (reference: p_audio = cos / (cos.sum()+1e-6)).
 
     Args:
       driving_emb: [D] (or [1, D]) driving-audio feature vector.
@@ -25,5 +28,4 @@ def compute_paudio(driving_emb: jnp.ndarray,
     s = segment_embs.reshape(segment_embs.shape[0], -1)
     s = s / (jnp.linalg.norm(s, axis=1, keepdims=True) + 1e-12)
     sims = s @ d                       # [-1, 1]
-    p = (sims + 1.0) / 2.0             # shift to [0, 1] (reference :12-14)
-    return p / jnp.sum(p)
+    return sims / (jnp.sum(sims) + 1e-6)

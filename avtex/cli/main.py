@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-nvl", "--new_video_length", type=int, default=30)
     p.add_argument("-SF", type=int, default=5)
     p.add_argument("-nintp", dest="interpolation", action="store_false")
+    p.add_argument("-noaug", dest="augment", action="store_false",
+                   help="train with the reference's exact preprocessing "
+                        "(resize+normalize, no augmentation)")
     p.add_argument("-fb", "--frames_bar", action="store_true")
     p.add_argument("-norm", choices=["group", "affine"], default="group",
                    help="encoder norm: group (training) or affine (folded "
@@ -109,6 +112,7 @@ def args_to_config(args: argparse.Namespace):
         fps_override=args.fps,
         n_negs=args.n_negs, new_video_length=args.new_video_length,
         alpha=args.alpha, interpolation=args.interpolation, SF=args.SF,
+        augment=args.augment,
         frames_bar=args.frames_bar, vcam=args.vcam, norm=args.norm,
         driving_audio=args.driving_audio,
         da_feats=args.da_feats, seed=args.seed, epochs=args.epochs,

@@ -51,6 +51,12 @@ class Config:
     new_video_length: int = 30          # -nvl: seconds of texture to synthesize
     alpha: float = 0.5                  # -alpha: video-vs-audio blend weight
     interpolation: bool = True          # -nintp stores False
+    # Training augmentation (scale-jitter crop + h-flip + color jitter) is
+    # an avtex ADDITION: the reference's live training path preprocesses
+    # with resize+normalize only (dataset.py:43-58; its ColorJitter is
+    # commented out and transform.py is dead code). -noaug trains with the
+    # reference's exact preprocessing instead.
+    augment: bool = True                # -noaug stores False
     SF: int = 5                         # -SF: SuperSloMo factor at jumps
     frames_bar: bool = False            # -fb: burn red position bar into frames
     norm: str = "group"                 # -norm: encoder norm ("group" for

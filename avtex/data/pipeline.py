@@ -35,6 +35,9 @@ class SegmentBatches:
                  n_negs: int = 20, batch_size: int = 8,
                  audio_examples: Optional[np.ndarray] = None,
                  seed: int = 0, drop_last: bool = False) -> None:
+        # Contiguous copy once so the stride-tricks window view (and the
+        # per-batch gathers off it) never alias a strided source like a
+        # subsampled frames[::k].
         self.frames = np.ascontiguousarray(frames)
         self.window = window
         self.stride = stride
@@ -45,8 +48,9 @@ class SegmentBatches:
         # Windows view covers ids [0, n_train] (the last id appears only as
         # positive/negative, matching reference __len__ semantics).
         from avtex.contrastive.segments import require_segments
-        self.n_train = require_segments(len(frames), window, stride, "train")
-        self.windows = gather_windows(frames, window, stride, "val")
+        self.n_train = require_segments(len(self.frames), window, stride,
+                                        "train")
+        self.windows = gather_windows(self.frames, window, stride, "val")
         self.audio = audio_examples
         self.max_audio_id = (len(audio_examples) - 1
                              if audio_examples is not None else 0)
@@ -91,14 +95,23 @@ class SegmentBatches:
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Run an iterator in a daemon thread with a bounded queue
-    (TPU equivalent of DataLoader workers — SURVEY.md §2.5 item 3)."""
+    (TPU equivalent of DataLoader workers — SURVEY.md §2.5 item 3).
+
+    An exception in the wrapped iterator is re-raised in the CONSUMER —
+    a failing epoch must not look like a short successful one (a
+    swallowed first-batch failure would leave the epoch meter at 0.0,
+    "beating" the early-stop threshold and checkpointing broken state
+    as best)."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    failure = []
 
     def worker():
         try:
             for item in iterator:
                 q.put(item)
+        except BaseException as e:  # noqa: BLE001 - relayed to consumer
+            failure.append(e)
         finally:
             q.put(_END)
 
@@ -107,5 +120,7 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     while True:
         item = q.get()
         if item is _END:
+            if failure:
+                raise failure[0]
             return
         yield item

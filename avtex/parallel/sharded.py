@@ -161,7 +161,7 @@ def _embed_from_video_fn(model, mesh, img_size, tower, window, with_audio):
     return run
 
 
-def make_sharded_train_step(model, tx, mesh: Mesh, size: int,
+def make_sharded_train_step(model, mesh: Mesh, size: int,
                             slowfast: bool) -> Callable:
     """DP+TP version of train.loop.make_train_step: batch sharded over
     'data', grads reduced by XLA. The returned step PLACES state.params
@@ -170,7 +170,7 @@ def make_sharded_train_step(model, tx, mesh: Mesh, size: int,
     previously the rules were silently skipped for anyone who didn't."""
     from avtex.train.loop import make_train_step
 
-    base_step = make_train_step(model, tx, size, slowfast)
+    base_step = make_train_step(model, size, slowfast)
     batch_sharding = NamedSharding(mesh, P("data"))
 
     def place(state, batch, rng):

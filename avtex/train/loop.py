@@ -43,17 +43,24 @@ def _prep_pathways(frames: jnp.ndarray, rng, size: int, slowfast: bool,
     return x
 
 
-def make_train_step(model: ContrastiveTextures, tx: optax.GradientTransformation,
-                    size: int, slowfast: bool) -> Callable:
-    """Build the jitted (state, batch, rng) -> (state, metrics) step."""
+def make_train_step(model: ContrastiveTextures, size: int,
+                    slowfast: bool, augment: bool = True) -> Callable:
+    """Build the jitted (state, batch, rng) -> (state, metrics) step.
+
+    The optimizer lives in the TrainState (state.apply_gradients uses
+    state.tx), so the step depends only on the model and geometry.
+    ``augment=False`` trains with the reference's exact preprocessing
+    (resize+normalize only — its live path never augments, dataset.py:
+    43-58); the default adds scale-jitter crop + h-flip + color jitter."""
 
     def loss_fn(params, batch, rng):
         kq, kt = jax.random.split(rng)
-        q_in = _prep_pathways(batch["q_frames"], kq, size, slowfast, True)
+        q_in = _prep_pathways(batch["q_frames"], kq, size, slowfast,
+                              augment)
         tf = batch["t_frames"]
         b, n = tf.shape[:2]
         t_flat = _prep_pathways(tf.reshape((-1,) + tf.shape[2:]), kt, size,
-                                slowfast, True)
+                                slowfast, augment)
         if slowfast:
             t_in = tuple(p.reshape((b, n) + p.shape[1:]) for p in t_flat)
         else:
@@ -74,10 +81,22 @@ def make_train_step(model: ContrastiveTextures, tx: optax.GradientTransformation
     return step
 
 
+def make_lr_schedule(cfg: Config, steps_per_epoch: int):
+    """StepLR(step_size=lr_steps, gamma=0.1) decays EVERY lr_steps epochs
+    (main.py:446,474) — staircase exponential decay is exactly that; a
+    single-boundary schedule would run epochs past 2*lr_steps at 10x the
+    reference's LR."""
+    return optax.exponential_decay(
+        cfg.lr, transition_steps=steps_per_epoch * cfg.lr_steps,
+        decay_rate=0.1, staircase=True)
+
+
 def create_state(model: ContrastiveTextures, cfg: Config,
                  sample_batch: Dict, steps_per_epoch: int,
-                 slowfast: bool) -> Tuple[train_state.TrainState, optax.GradientTransformation]:
-    """Initialize params + SGD/StepLR optimizer (reference: main.py:440-446)."""
+                 slowfast: bool) -> train_state.TrainState:
+    """Initialize params + SGD/StepLR optimizer (reference: main.py:440-446).
+
+    The optimizer is embedded in the returned TrainState (state.tx)."""
     rng = jax.random.key(cfg.seed)
     q_in = _prep_pathways(jnp.asarray(sample_batch["q_frames"][:1]), rng,
                           cfg.img_size, slowfast, False)
@@ -100,15 +119,14 @@ def create_state(model: ContrastiveTextures, cfg: Config,
         params, _ = maybe_load_vggish_into_model(
             params, context="model_type=2 training init")
 
-    schedule = optax.piecewise_constant_schedule(
-        cfg.lr, {steps_per_epoch * cfg.lr_steps: 0.1})
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
     tx = optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
         optax.sgd(schedule, momentum=cfg.momentum),
     )
     state = train_state.TrainState.create(
         apply_fn=model.apply, params=params, tx=tx)
-    return state, tx
+    return state
 
 
 def train_video(cfg: Config, frames: np.ndarray,
@@ -147,24 +165,32 @@ def train_video(cfg: Config, frames: np.ndarray,
     # drop it whenever at least one full batch remains (static shapes rule).
     data.drop_last = data.n_train >= data.batch_size
     sample = next(data.epoch())
-    state, tx = create_state(model, cfg, sample, len(data), slowfast)
+    state = create_state(model, cfg, sample, len(data), slowfast)
 
     start_epoch = cfg.start_epoch or 0
     best = float("inf")
     if resume:
         from .checkpoint import restore_checkpoint
         payload = restore_checkpoint(resume, state.params, state.opt_state)
-        if payload is not None:
-            state = state.replace(params=payload["state"])
-            if "opt_state" in payload:
-                state = state.replace(opt_state=payload["opt_state"],
-                                      step=int(payload["step"]))
+        if payload is None:
+            # the reference asserts the file exists (main.py:357) — a
+            # typoed --resume must not silently retrain from scratch and
+            # overwrite the existing checkpoints
+            raise FileNotFoundError(f"No checkpoint found at '{resume}'")
+        state = state.replace(params=payload["state"])
+        if "opt_state" in payload:
+            state = state.replace(opt_state=payload["opt_state"],
+                                  step=int(payload["step"]))
+        if cfg.start_epoch is None:
+            # an explicit --start_epoch wins over the checkpoint's
+            # (reference: main.py:362-363)
             start_epoch = int(payload["epoch"])
-            best = float(payload["best_loss"])
+        best = float(payload["best_loss"])
 
     if ckpt_dir and ckpt_name is None:
         raise TrainConfigError("ckpt_dir requires ckpt_name")
-    step_fn = make_train_step(model, tx, cfg.img_size, slowfast)
+    step_fn = make_train_step(model, cfg.img_size, slowfast,
+                              augment=cfg.augment)
     rng_base = jax.random.key(cfg.seed + 1)
     if log_every is None:
         log_every = cfg.log_freq  # -lf (reference: train.py:166)

@@ -385,6 +385,7 @@ def find_encoder_checkpoint(arch: str, explicit: str = None) -> str:
     Returns None if absent."""
     import os
     names = {"resnet18": "r3d18_KM_200ep.pth",
+             "resnet18_2d": "resnet18-imagenet.pth",
              "slowfast": "SLOWFAST_8x8_R50.pkl"}
     fname = names.get(arch)
     for cand in (explicit, os.environ.get("AVTEX_ENCODER_CKPT"),

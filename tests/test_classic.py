@@ -113,6 +113,46 @@ def test_host_walk_matches_choice_semantics(frames):
     assert idx.tolist() == want
 
 
+def test_host_walk_mode2_advance_matches_reference_loop():
+    """Mode 2 samples each transition from min(chosen + stride, N-1), not
+    from the chosen index (reference video_textures.py:148-169); jump
+    flags compare against the advanced row."""
+    n, stride = 12, 3
+    p = np.zeros((n, n))
+    p[np.arange(n), (np.arange(n) + 1) % n] = 1.0  # always next available
+    p[5, 9] = 1.0
+    rng = np.random.default_rng(7)
+    idx, jumps = classic.sample_texture_walk_host(p, 0, 8, rng,
+                                                  advance=stride)
+    # reference-style oracle sharing the rng stream
+    rng2 = np.random.default_rng(7)
+    this_frame = 0 + stride
+    want, want_jumps = [0], []
+    for _ in range(8):
+        nxt = int(rng2.choice(np.flatnonzero(p[this_frame])))
+        want_jumps.append(nxt != this_frame + 1)
+        want.append(nxt)
+        this_frame = min(nxt + stride, n - 1)
+    assert idx.tolist() == want
+    assert jumps.tolist() == want_jumps
+
+
+def test_device_walk_mode2_advance_valid():
+    """Device walk with advance: every chosen index must be a nonzero
+    column of the ADVANCED row it was sampled from."""
+    n, stride = 10, 2
+    g = np.random.default_rng(0)
+    p = (g.random((n, n)) > 0.4).astype(np.float32)
+    p[p.sum(1) == 0, 0] = 1.0  # no dead rows
+    idx, jumps = classic.sample_texture_walk(
+        p, 1, 20, jax.random.PRNGKey(0), advance=stride)
+    idx = np.asarray(idx)
+    row = min(1 + stride, n - 1)
+    for k in range(1, len(idx)):
+        assert p[row, idx[k]] > 0, (row, idx[k])
+        row = min(idx[k] + stride, n - 1)
+
+
 def test_expand_walk_modes():
     idx = np.array([2, 3, 7])
     assert classic.sampler.expand_walk_to_frames(idx, 1, 4, 8, 100).tolist() == [2, 3, 7]

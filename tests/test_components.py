@@ -6,13 +6,21 @@ import pytest
 
 
 def test_compute_paudio(rng):
+    """Reference formula exactly: p = cos / (cos.sum() + 1e-6) — no shift
+    (computePaudio.py:6-18; an earlier avtex version applied (x+1)/2,
+    which flattens the conditioning: sims [0.2, 0.8] must weight 1:4,
+    not 2:3)."""
     import jax.numpy as jnp
     from avtex.classic.paudio import compute_paudio
     segs = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
     p = np.asarray(compute_paudio(segs[3], segs))
     assert p.shape == (8,)
-    np.testing.assert_allclose(p.sum(), 1.0, rtol=1e-5)
     assert p.argmax() == 3  # self-similarity wins
+    # numpy oracle of the reference's torch lines
+    s = np.asarray(segs, np.float64)
+    s = s / np.linalg.norm(s, axis=1, keepdims=True)
+    cos = s @ (s[3] / np.linalg.norm(s[3]))
+    np.testing.assert_allclose(p, cos / (cos.sum() + 1e-6), rtol=2e-4)
 
 
 def test_overlay_cam_and_barplot(tmp_path, rng):

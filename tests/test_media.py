@@ -139,16 +139,28 @@ def test_avi_stereo_audio(tmp_path, frames):
 
 
 def test_prefetch_preserves_order_and_exceptions():
+    """A worker-thread failure must re-raise in the CONSUMER — a failing
+    epoch must not look like a short successful one (a swallowed
+    first-batch failure would leave the epoch meter at 0.0, 'beating'
+    the early-stop threshold and checkpointing broken state as best)."""
+    import pytest
+
     from avtex.data.pipeline import prefetch
     assert list(prefetch(iter(range(10)))) == list(range(10))
 
     def boom():
         yield 1
         raise RuntimeError("x")
-    out = []
-    import pytest as _pytest
     gen = prefetch(boom())
     assert next(gen) == 1
+    with pytest.raises(RuntimeError, match="x"):
+        next(gen)
+
+    def boom_first():
+        raise ValueError("first")
+        yield  # pragma: no cover
+    with pytest.raises(ValueError, match="first"):
+        list(prefetch(boom_first()))
 
 
 def test_logger_writes_events(tmp_path):

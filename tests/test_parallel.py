@@ -96,8 +96,8 @@ batch = {
     "t_frames": (rng.random((8, 3, 4, 16, 16, 3)) * 255).astype(np.uint8),
     "q_ids": np.arange(8),
 }
-state, tx = create_state(model, cfg, batch, 10, slowfast=False)
-step = make_sharded_train_step(model, tx, mesh, 16, slowfast=False)
+state = create_state(model, cfg, batch, 10, slowfast=False)
+step = make_sharded_train_step(model, mesh, 16, slowfast=False)
 state2, metrics = step(state, batch, jax.random.key(0))
 loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
@@ -203,10 +203,10 @@ losses = []
 for shape in ((8, 1), (4, 2), (2, 4)):
     mesh = make_mesh(shape)
     model = ContrastiveTextures(arch="resnet10", model_type=2, temp=cfg.temp)
-    state, tx = create_state(model, cfg, batch, 10, slowfast=False)
+    state = create_state(model, cfg, batch, 10, slowfast=False)
     state = state.replace(params=jax.device_put(
         state.params, param_shardings(state.params, mesh)))
-    step = make_sharded_train_step(model, tx, mesh, 16, slowfast=False)
+    step = make_sharded_train_step(model, mesh, 16, slowfast=False)
     _, metrics = step(state, batch, jax.random.key(0))
     losses.append(float(metrics["loss"]))
 print("LOSSES", losses)
@@ -261,8 +261,8 @@ batch = {
     "t_frames": (rng.random((8, 3, 4, 32, 32, 3)) * 255).astype(np.uint8),
     "q_ids": np.arange(8),
 }
-state, tx = create_state(model, cfg, batch, 10, slowfast=True)
-step = make_sharded_train_step(model, tx, mesh, cfg.img_size, slowfast=True)
+state = create_state(model, cfg, batch, 10, slowfast=True)
+step = make_sharded_train_step(model, mesh, cfg.img_size, slowfast=True)
 state2, metrics = step(state, batch, jax.random.key(0))
 loss = float(metrics["loss"])
 assert np.isfinite(loss), loss

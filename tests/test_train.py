@@ -50,6 +50,28 @@ def test_checkpoint_roundtrip(tmp_path, tiny_cfg, tiny_video):
         np.testing.assert_array_equal(a, b)
 
 
+def test_lr_schedule_decays_every_lr_steps():
+    """StepLR semantics: /10 at EVERY lr_steps epochs (main.py:446,474),
+    not only once — epochs past 2*lr_steps must run at lr*0.01."""
+    from avtex.config import Config
+    from avtex.train.loop import make_lr_schedule
+    cfg = Config(lr=0.1, lr_steps=3)
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(3 * 10)) == pytest.approx(0.01)
+    assert float(sched(6 * 10)) == pytest.approx(0.001)
+    assert float(sched(7 * 10)) == pytest.approx(0.001)
+
+
+def test_resume_missing_checkpoint_raises(tiny_cfg, tiny_video):
+    """A typoed --resume path must fail loudly (reference main.py:357
+    asserts), not silently retrain from scratch over the checkpoints."""
+    from avtex.train.loop import train_video
+    with pytest.raises(FileNotFoundError, match="No checkpoint"):
+        train_video(tiny_cfg, tiny_video, epochs=1,
+                    resume="/nonexistent/ckpt.msgpack")
+
+
 def test_resume_replays_uninterrupted_run(tmp_path, tiny_cfg, tiny_video):
     """Kill at epoch 2 of 3, resume from _latest: identical losses, params
     and optimizer step as the uninterrupted run (params+opt-state+schedule
@@ -258,7 +280,7 @@ def test_remat_policy_matches_blanket_remat():
                  stride=2, train_stride=2, n_negs=2, batch_size=2, lr=0.01)
     model = ContrastiveTextures(arch="slowfast", model_type=1,
                                 temp=cfg.temp, remat=True)
-    state, tx = create_state(model, cfg, batch, steps_per_epoch=10,
+    state = create_state(model, cfg, batch, steps_per_epoch=10,
                              slowfast=True)
     db = {k: jnp.asarray(v) for k, v in batch.items()}
 
@@ -279,7 +301,7 @@ def test_remat_policy_matches_blanket_remat():
              jax.checkpoint_policies.save_only_these_names("conv_out"))):
         resnet3d.REMAT_POLICY = pol
         try:
-            step = make_train_step(model, tx, cfg.img_size, slowfast=True)
+            step = make_train_step(model, cfg.img_size, slowfast=True)
             st, m = step(state, db, jax.random.key(0))
         finally:
             resnet3d.REMAT_POLICY = None

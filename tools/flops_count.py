@@ -51,8 +51,8 @@ def main_train() -> None:
         .astype(np.uint8),
         "q_ids": np.arange(bs),
     }
-    state, tx = create_state(model, cfg, batch, 10, slowfast=True)
-    step = make_train_step(model, tx, res, slowfast=True)
+    state = create_state(model, cfg, batch, 10, slowfast=True)
+    step = make_train_step(model, res, slowfast=True)
     import jax.numpy as jnp
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     t0 = time.perf_counter()

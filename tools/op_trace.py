@@ -160,9 +160,9 @@ def make_train_runner(args):
         "t_frames": (g.random((bs, 1 + negs, window, args.res, args.res, 3))
                      * 255).astype(np.uint8),
     }
-    state, tx = create_state(model, cfg, batch, steps_per_epoch=10,
+    state = create_state(model, cfg, batch, steps_per_epoch=10,
                              slowfast=True)
-    step = make_train_step(model, tx, args.res, slowfast=True)
+    step = make_train_step(model, args.res, slowfast=True)
     rng = jax.random.key(0)
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     holder = {"state": state, "i": 0}

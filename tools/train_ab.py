@@ -62,7 +62,7 @@ def main():
         "t_frames": (g.random((bs, 1 + negs, window, 224, 224, 3)) * 255
                      ).astype(np.uint8),
     }
-    state, tx = create_state(model, cfg, batch, steps_per_epoch=10,
+    state = create_state(model, cfg, batch, steps_per_epoch=10,
                              slowfast=True)
     rng = jax.random.key(0)
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -107,7 +107,7 @@ def main():
     failed = {}
     for name, setup in variant_defs:
         m = setup()
-        step = make_train_step(m, tx, cfg.img_size, slowfast=True)
+        step = make_train_step(m, cfg.img_size, slowfast=True)
         tw = time.perf_counter()
         try:
             st, mtr = step(state, dev_batch, rng)

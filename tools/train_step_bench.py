@@ -47,11 +47,11 @@ def main():
     }
 
     t0 = time.perf_counter()
-    state, tx = create_state(model, cfg, batch, steps_per_epoch=10,
+    state = create_state(model, cfg, batch, steps_per_epoch=10,
                              slowfast=True)
     init_s = time.perf_counter() - t0
 
-    step = make_train_step(model, tx, cfg.img_size, slowfast=True)
+    step = make_train_step(model, cfg.img_size, slowfast=True)
     rng = jax.random.key(0)
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
