@@ -16,7 +16,12 @@ import numpy as np
 
 def random_sequential_walk(num_segments: int, window: int, stride: int,
                            max_length: int, seed: int = 0) -> np.ndarray:
-    """Frame ids: random start, sequential segments, wrap at the end."""
+    """Frame ids: random start, sequential segments, wrap at the end.
+
+    Like the reference loop (random_baseline.py:63-69), whole blocks are
+    emitted until ``max_length`` is reached — the output may overshoot by
+    up to a block and is never truncated.
+    """
     rng = np.random.default_rng(seed)
     seg = int(rng.integers(num_segments))
     frame_ids = list(range(seg * stride, seg * stride + window))
@@ -24,13 +29,17 @@ def random_sequential_walk(num_segments: int, window: int, stride: int,
         seg = (seg + 1) % num_segments
         start = seg * stride + (window - stride)
         frame_ids.extend(range(start, seg * stride + window))
-    return np.asarray(frame_ids[:max_length])
+    return np.asarray(frame_ids)
 
 
 def random_segment_walk(num_segments: int, window: int, stride: int,
                         max_length: int, seed: int = 0
                         ) -> Tuple[np.ndarray, np.ndarray]:
-    """Frame ids + segment ids: fresh uniform segment per step."""
+    """Frame ids + segment ids: fresh uniform segment per step.
+
+    Whole blocks are kept past ``max_length`` (no truncation), matching
+    the reference loop (random_segment_baseline.py:63-66).
+    """
     rng = np.random.default_rng(seed)
     frame_ids: list = []
     segs: list = []
@@ -44,4 +53,4 @@ def random_segment_walk(num_segments: int, window: int, stride: int,
         else:
             start = seg * stride + (window - stride)
             frame_ids.extend(range(start, seg * stride + window))
-    return np.asarray(frame_ids[:max_length]), np.asarray(segs)
+    return np.asarray(frame_ids), np.asarray(segs)

@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-dadata", default="audio/target")
     p.add_argument("-vl", "--video_list", nargs="+", default=None)
     p.add_argument("-da", "--driving_audio", nargs="+", default=None)
+    p.add_argument("-tl", "--target_list", nargs="+", default=None,
+                   help="target audios to overlay (random modes; reference "
+                        "random_baseline.py -tl)")
     p.add_argument("-nvl", "--new_video_length", type=int, default=30)
     p.add_argument("-seed", type=int, default=0)
     p.add_argument("-i", "--input", default=None,
@@ -44,6 +47,7 @@ def main(argv=None) -> None:
     from avtex.contrastive.segments import num_segments
     from avtex.media import (mux_audio_video, read_video, read_wav,
                              save_texture_outputs)
+    from avtex.native.stitch import stitch_frames
 
     args = build_parser().parse_args(argv)
     out_dir = args.results_folder
@@ -56,6 +60,8 @@ def main(argv=None) -> None:
         if not os.path.exists(wav_path):
             raise SystemExit(f"expected audio sidecar {wav_path}")
         audio, sr = read_wav(wav_path)
+        # reference random_shift.py:16 caps the track at 60 s before shifting
+        audio = audio[: sr * 60]
         shifted, secs = shift_audio(audio, sr, seed=args.seed)
         name = os.path.splitext(os.path.basename(args.input))[0]
         out = mux_audio_video(frames, shifted, sr,
@@ -88,21 +94,42 @@ def main(argv=None) -> None:
                 d_eg = np.asarray(waveform_to_examples(d_wav, d_sr))
                 frame_ids, segs = audio_nearest_neighbour(
                     d_eg, src_eg, W, S, max_len)
+                # reference audio_nearestneighbour.py:142 trims the driving
+                # wav to the emitted frame count (apf = floor(sr/fps))
+                apf = math.floor(d_sr / fps)
                 save_texture_outputs(out_dir, f"{name}_{da}_nn",
-                                     frames[frame_ids], fps, audio=d_wav,
+                                     frames[frame_ids], fps,
+                                     audio=d_wav[: len(frame_ids) * apf],
                                      sample_rate=d_sr)
                 print(f"[avtex] nn {name}+{da}: {len(segs)} matches")
-        elif args.mode == "random":
-            ids = random_sequential_walk(L, W, S, max_len, args.seed)
-            save_texture_outputs(out_dir, f"{name}_random", frames[ids], fps,
-                                 audio=audio, sample_rate=sr)
-            print(f"[avtex] random {name}: {len(ids)} frames")
-        else:  # random_segment
-            ids, segs = random_segment_walk(L, W, S, max_len, args.seed)
-            save_texture_outputs(out_dir, f"{name}_random_segment",
-                                 frames[ids], fps, audio=audio,
-                                 sample_rate=sr)
-            print(f"[avtex] random_segment {name}: {len(segs)} segments")
+        else:  # random / random_segment
+            if args.mode == "random":
+                ids = random_sequential_walk(L, W, S, max_len, args.seed)
+                blocks = ""
+            else:
+                ids, segs = random_segment_walk(L, W, S, max_len, args.seed)
+                blocks = f", {len(segs)} blocks"
+            # reference random_baseline.py:68-78 / random_segment_baseline.py
+            # burn a red position bar at column idx*width/len(source) into
+            # every OUTPUT frame (output index, not source frame id)
+            out_frames = stitch_frames(frames[ids],
+                                       np.arange(len(ids), dtype=np.int64),
+                                       frames_bar=True,
+                                       total_input_frames=len(frames))
+            # reference overlays a *target* audio (-tl) trimmed to the
+            # output length (random_baseline.py:92-97); without -tl the
+            # source-named wav is used as a convenience
+            overlay, overlay_sr, suffix = audio, sr, args.mode
+            if args.target_list:
+                tgt = args.target_list[(args.video_list or []).index(name)]
+                overlay, overlay_sr = read_wav(
+                    os.path.join(args.adata or ".", f"{tgt}.wav"))
+                suffix = f"{tgt}_{args.mode}"
+            if overlay is not None:
+                overlay = overlay[: len(ids) * math.floor(overlay_sr / fps)]
+            save_texture_outputs(out_dir, f"{name}_{suffix}", out_frames,
+                                 fps, audio=overlay, sample_rate=overlay_sr)
+            print(f"[avtex] {args.mode} {name}: {len(ids)} frames{blocks}")
 
 
 if __name__ == "__main__":

@@ -48,6 +48,16 @@ def test_baselines_cli_random_modes(media_dirs, tmp_path):
     assert any("clip_random_segment" in n for n in names), names
 
 
+def test_baselines_cli_random_target_overlay(media_dirs, tmp_path):
+    # reference random_baseline.py overlays a -tl target audio (from the
+    # target-audio dir) on the random walk, trimmed to the output length
+    vdir, _, dadir = media_dirs
+    out = tmp_path / "res"
+    main(["random", "-vdata", str(vdir), "-vl", "clip", "-adata", str(dadir),
+          "-tl", "song", "-nvl", "2", "-results_folder", str(out)])
+    assert any("clip_song_random" in n for n in _outputs(out)), _outputs(out)
+
+
 def test_baselines_cli_nn_mode(media_dirs, tmp_path):
     vdir, adir, dadir = media_dirs
     out = tmp_path / "res"
