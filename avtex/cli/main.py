@@ -15,6 +15,7 @@ Usage (matches README.md:35-53 of the reference):
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import sys
 from typing import List, Optional
@@ -128,6 +129,65 @@ def args_to_config(args: argparse.Namespace):
         logname=args.logname, results_folder=args.results_folder,
         ckpt=args.ckpt,
     )
+
+
+def discover_video_list(vdata: str) -> List[str]:
+    """Default video list when -vl is omitted: every file in -vdata.
+
+    The reference scans the dataset dir, takes each filename's first
+    dot-component, skips hidden files, and sorts
+    (reference: main.py:495-502). Deviations: duplicates are dropped
+    (the reference would process "clip" twice when both clip.mp4 and
+    clip.wav sit in -vdata) and subdirectories are skipped (the
+    reference would try to read "<subdir>.mp4" and crash).
+    """
+    names = sorted(f.split(".")[0] for f in sorted(os.listdir(vdata))
+                   if not f.startswith(".")
+                   and os.path.isfile(os.path.join(vdata, f)))
+    out: List[str] = []
+    for n in names:
+        if n not in out:
+            out.append(n)
+    return out
+
+
+def per_video_config(cfg, video_name: str, itr: int):
+    """Specialize the config to video #itr the way the reference does.
+
+    - Driving audio and VideoForAudio checkpoints pair with the video BY
+      INDEX, not as a cross-product (reference: validate.py:168
+      ``args.driving_audio[itr]``, validate.py:287 ``args.daf_resume[itr]``).
+    - The results folder becomes ``results_{video}`` and, when synthesizing
+      with driving audio, gains the reference's
+      ``_target_{video}_{audio}`` suffix (reference: main.py:506,541-545,
+      where the -rf flag is dead). Deviation: an explicitly-passed
+      -results_folder is kept as the PARENT directory so the flag stays
+      useful without losing the reference's per-video layout.
+    """
+    da = cfg.driving_audio
+    daf = cfg.daf_resume
+    if da:
+        if itr >= len(da):
+            raise ValueError(
+                f"-da lists {len(da)} driving audio(s) for {itr + 1}+ "
+                f"videos; the reference pairs them by index "
+                f"(validate.py:168) — pass one per video.")
+        da = [da[itr]]
+    if daf:
+        if itr >= len(daf):
+            raise ValueError(
+                f"-daf_resume lists {len(daf)} checkpoint(s) for "
+                f"{itr + 1}+ videos; the reference pairs them by index "
+                f"(validate.py:287) — pass one per video.")
+        daf = [daf[itr]]
+    rf = f"results_{video_name}"
+    if (cfg.evaluate or cfg.visualize_evaluate) and da:
+        target = os.path.split(da[0])[-1].split(".")[0]
+        rf += f"_target_{video_name}_{target}"
+    if cfg.results_folder and cfg.results_folder != "results":
+        rf = os.path.join(cfg.results_folder, rf)
+    return dataclasses.replace(cfg, driving_audio=da, daf_resume=daf,
+                               results_folder=rf)
 
 
 def run_one_video(cfg, video_name: str, mesh=None) -> None:
@@ -245,13 +305,21 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     cfg = args_to_config(args)
     if not cfg.video_list:
-        raise SystemExit("need -vl video names")
+        # Reference default: every file in -vdata (main.py:495-502).
+        if cfg.vdata and os.path.isdir(cfg.vdata):
+            cfg = dataclasses.replace(
+                cfg, video_list=discover_video_list(cfg.vdata))
+        if not cfg.video_list:
+            raise SystemExit(
+                "need -vl video names (or -vdata pointing at a directory "
+                "of videos to discover them from)")
     mesh = None
     if args.mesh:
         from avtex.parallel import make_mesh
         mesh = make_mesh()
-    for video_name in cfg.video_list:
-        run_one_video(cfg, video_name, mesh=mesh)
+    for itr, video_name in enumerate(cfg.video_list):
+        run_one_video(per_video_config(cfg, video_name, itr), video_name,
+                      mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -125,12 +125,48 @@ def test_contrastive_cli_train_and_eval(tiny_clip, tmp_path):
           "-epochs", "1", "-ckpt", ckpt,
           "-logdir", str(tmp_path / "logs")])
     assert os.listdir(ckpt)
-    main(["-m", "1", "-e", "-vdata", tiny_clip["dir"], "-vl", "clip",
+    # No -vl: the driver discovers ["clip"] from -vdata (reference
+    # main.py:495-502; clip.mp4 + clip.wav dedupe to one name) and writes
+    # into the per-video results_{video} folder (main.py:506) under the
+    # explicitly-passed -results_folder parent.
+    main(["-m", "1", "-e", "-vdata", tiny_clip["dir"],
           "-ea", "resnet10", "-size", "32", "-bs", "4", "-negs", "4",
           "-th", "0.5", "-nvl", "2", "-ckpt", ckpt, "-nintp",
           "-results_folder", str(tmp_path / "res"),
           "-logdir", str(tmp_path / "logs")])
-    assert os.listdir(tmp_path / "res")
+    assert os.listdir(tmp_path / "res" / "results_clip")
+
+
+def test_discover_video_list(tmp_path):
+    """-vl omitted: first-dot-component of every non-hidden file in -vdata,
+    sorted (reference: main.py:495-502), deduped across extensions."""
+    from avtex.cli.main import discover_video_list
+    for f in ["b.mp4", "a.mp4", "a.wav", ".hidden", "c.tag.mp4"]:
+        (tmp_path / f).touch()
+    (tmp_path / "subdir").mkdir()  # e.g. a driving-audio dir — not a video
+    assert discover_video_list(str(tmp_path)) == ["a", "b", "c"]
+
+
+def test_per_video_config_pairs_by_index():
+    """Driving audio / daf checkpoints pair with video #itr, never as a
+    cross-product (reference: validate.py:168,287), and the results folder
+    takes the reference's results_{video}[_target_{video}_{audio}] name
+    (main.py:506,541-545)."""
+    from avtex.cli.main import per_video_config
+    cfg = Config(evaluate=True, driving_audio=["songA", "songB"],
+                 daf_resume=["ckptA", "ckptB"])
+    c1 = per_video_config(cfg, "vid1", 1)
+    assert c1.driving_audio == ["songB"]
+    assert c1.daf_resume == ["ckptB"]
+    assert c1.results_folder == "results_vid1_target_vid1_songB"
+    with pytest.raises(ValueError, match="pairs them by index"):
+        per_video_config(cfg, "vid2", 2)
+    # train mode: plain per-video folder, no target suffix
+    c0 = per_video_config(Config(driving_audio=["songA"]), "vid0", 0)
+    assert c0.results_folder == "results_vid0"
+    # explicit -results_folder becomes the parent directory
+    c2 = per_video_config(Config(results_folder="out/dir"), "vid", 0)
+    assert c2.results_folder == os.path.join("out/dir", "results_vid")
 
 
 @pytest.mark.slow
